@@ -1,0 +1,21 @@
+"""Test configuration: run all unit tests on a virtual 8-device CPU mesh.
+
+Must set env vars BEFORE jax initializes its backends, so this lives at the top
+of conftest (pytest imports conftest before test modules import jax).
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the ambient env pins axon (TPU tunnel)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The baked axon sitecustomize calls jax.config.update("jax_platforms", "axon,cpu")
+# at interpreter start, which overrides the env var — override it back.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "float32")
