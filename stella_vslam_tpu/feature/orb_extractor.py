@@ -1,0 +1,414 @@
+"""ORB feature extraction as one fused, fixed-shape jitted TPU program.
+
+TPU-native redesign of the reference extractor
+(src/stella_vslam/feature/orb_extractor.cc):
+
+* reference: per-level 64px-cell cv::FAST with two-threshold retry, then
+  grid-NMS keeping the max-response keypoint per ~sqrt(min_area) cell
+  (orb_extractor.cc:164-329), OpenMP over cells/levels; per-keypoint IC-angle
+  and blurred rBRIEF loops (orb_impl.cc).
+* here, everything is expressed as elementwise VPU passes + MXU matmuls,
+  because profiling on the target TPU showed that (a) per-element
+  gathers/scatters serialize (~us each), and (b) single-channel 2D
+  convolutions are pathologically slow (a 31x31 conv ran at <1 GFLOP/s).
+  Concretely:
+
+  - FAST-9/16: exact score map from 16 statically *sliced* shifted images
+    (one pad, 16 slices — no roll, no [16,H,W] stack) and a log-depth
+    windowed-min tree; two-threshold retry becomes a per-NMS-cell select.
+  - NMS: per-cell winner via PACKED-KEY (score<<10 | row<<5 | col) two-stage
+    row/column max reductions — no transpose, no argmax, no gather.
+  - pyramid: bilinear resize level-to-level as two small static matmuls
+    (row-weights @ img @ col-weights^T), exactly INTER_LINEAR's math.
+  - patches: 45x45 raw patches around winners via one-hot bf16 contractions
+    (row select then column select) — integer pixel values are exact in bf16.
+  - IC-angle: moment masks applied to the raw patch as a [2025, 2] matmul
+    (reference computes these per keypoint on the full image).
+  - descriptor: 7x7 sigma=2 blur as a [2025 -> 1521] in-patch matmul (rounded
+    to integer gray levels like the reference's u8 blur), then steered
+    256-pair BRIEF with the angle quantized to ANGLE_BINS (12 deg, original
+    ORB granularity): all (bin, pair) comparisons are ONE
+    [A*256, 1521] x [1521, K] matmul followed by a one-hot bin select.
+
+The number of keypoint slots is a static function of (image size, min_area,
+num_levels): sum over levels of NMS-grid cells. Invalid slots carry valid=False.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stella_vslam_tpu.feature import orb_pattern
+from stella_vslam_tpu.feature.orb_params import OrbParams
+
+# FAST-9/16 Bresenham circle offsets (dx, dy), radius 3.
+_FAST_OFFSETS = np.array(
+    [
+        (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+        (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+    ],
+    dtype=np.int32,
+)
+_ARC_LEN = 9
+
+ANGLE_BINS = 30  # 12-degree steering quantization (original ORB uses 2*pi/30)
+_DESC_R = 19  # rotated BRIEF pattern reach: 13*sqrt(2) < 19
+_DESC_W = 2 * _DESC_R + 1  # 39
+_DESC_AREA = _DESC_W * _DESC_W  # 1521
+_RAW_R = _DESC_R + 3  # + blur halo
+_RAW_W = 2 * _RAW_R + 1  # 45
+_RAW_AREA = _RAW_W * _RAW_W  # 2025
+
+
+class FrameFeatures(NamedTuple):
+    """SoA keypoint record, the frame_observation analog
+    (reference data/frame_observation.h:12-38) minus camera-dependent fields."""
+
+    xy: jnp.ndarray  # [N,2] f32, level-0 (raw/distorted) pixel coords
+    response: jnp.ndarray  # [N] f32 FAST score
+    angle: jnp.ndarray  # [N] f32 radians
+    level: jnp.ndarray  # [N] i32 pyramid level
+    valid: jnp.ndarray  # [N] bool
+    desc: jnp.ndarray  # [N,8] uint32 (256-bit rBRIEF)
+
+    @property
+    def num_slots(self) -> int:
+        return self.xy.shape[0]
+
+
+def _shifted(padded: jnp.ndarray, dy: int, dx: int, H: int, W: int, pad: int) -> jnp.ndarray:
+    """Static slice of a pre-padded image == image shifted by (dy, dx)."""
+    return jax.lax.slice(padded, (pad + dy, pad + dx), (pad + dy + H, pad + dx + W))
+
+
+def fast_score_map(img: jnp.ndarray, arc_len: int = _ARC_LEN) -> jnp.ndarray:
+    """Exact FAST-9/16 corner score for every pixel: the maximum threshold t
+    for which a contiguous arc of >= arc_len circle pixels is all brighter
+    than center+t (or all darker than center-t). corner(t) <=> score > t.
+    Implemented as 16 static slices + a log-depth sliding-window min tree of
+    2D elementwise ops (no 3D stacks, no rolls)."""
+    H, W = img.shape
+    pad = 3
+    padded = jnp.pad(img, ((pad, pad), (pad, pad)))
+    diffs = [
+        _shifted(padded, int(dy), int(dx), H, W, pad) - img
+        for dx, dy in _FAST_OFFSETS
+    ]
+
+    def window_min(d):
+        # sliding cyclic min of length arc_len (9) via doubling: 2, 4, 8, then +1
+        w2 = [jnp.minimum(d[k], d[(k + 1) % 16]) for k in range(16)]
+        w4 = [jnp.minimum(w2[k], w2[(k + 2) % 16]) for k in range(16)]
+        w8 = [jnp.minimum(w4[k], w4[(k + 4) % 16]) for k in range(16)]
+        w9 = [jnp.minimum(w8[k], d[(k + 8) % 16]) for k in range(16)]
+        out = w9[0]
+        for k in range(1, 16):
+            out = jnp.maximum(out, w9[k])
+        return out
+
+    bright = window_min(diffs)
+    dark = window_min([-d for d in diffs])
+    return jnp.maximum(bright, dark)
+
+
+def _resize_matrices(h_in: int, w_in: int, h_out: int, w_out: int):
+    """Bilinear (INTER_LINEAR, half-pixel centers) resize as two dense
+    matrices: out = R @ img @ C^T, R [h_out, h_in], C [w_out, w_in]."""
+
+    def mat(n_out, n_in):
+        m = np.zeros((n_out, n_in), dtype=np.float32)
+        scale = n_in / n_out
+        for i in range(n_out):
+            src = (i + 0.5) * scale - 0.5
+            j0 = int(np.floor(src))
+            f = src - j0
+            j0c = min(max(j0, 0), n_in - 1)
+            j1c = min(max(j0 + 1, 0), n_in - 1)
+            m[i, j0c] += 1.0 - f
+            m[i, j1c] += f
+        return m
+
+    return mat(h_out, h_in), mat(w_out, w_in)
+
+
+def _gauss_blur_matrix() -> np.ndarray:
+    """[_DESC_AREA, _RAW_AREA]: in-patch separable 7-tap sigma=2 Gaussian,
+    mapping a 45x45 raw patch to the blurred central 39x39
+    (matches cv::GaussianBlur(Size(7,7), 2, 2) away from image borders)."""
+    k = orb_pattern.gaussian_kernel_7x7().astype(np.float64)
+    m = np.zeros((_DESC_AREA, _RAW_AREA))
+    for ry in range(_DESC_W):
+        for rx in range(_DESC_W):
+            out_idx = ry * _DESC_W + rx
+            for ty in range(7):
+                for tx in range(7):
+                    iy = ry + ty  # raw-patch coords (offset +3 alignment)
+                    ix = rx + tx
+                    m[out_idx, iy * _RAW_W + ix] += k[ty] * k[tx]
+    return m.astype(np.float32)
+
+
+def _moment_vectors() -> np.ndarray:
+    """[_RAW_AREA, 2]: circular-patch IC-angle moment masks (m10 | m01)
+    embedded at the center of the 45x45 raw patch
+    (reference orb_impl.cc ic_angle u_max circle, radius 15)."""
+    k10, k01 = orb_pattern.ic_angle_moment_kernels()  # [31,31] each
+    out = np.zeros((_RAW_AREA, 2), dtype=np.float32)
+    off = _RAW_R - orb_pattern.HALF_PATCH  # 22 - 15 = 7
+    for v in range(31):
+        for u in range(31):
+            idx = (v + off) * _RAW_W + (u + off)
+            out[idx, 0] = k10[v, u]
+            out[idx, 1] = k01[v, u]
+    return out
+
+
+def _steered_bit_matrix() -> np.ndarray:
+    """[ANGLE_BINS * 256, _DESC_AREA] +/-1/0 weights: row (a,p) has +1 at the
+    rotated pair endpoint 1 and -1 at endpoint 0, so W @ patch = I1 - I0 and
+    bit = (W @ patch > 0), matching the reference's I0 < I1 comparison
+    (orb_impl.cc compute_orb_descriptor) with 12-degree angle quantization."""
+    pat = orb_pattern.generate_brief_pattern()  # [256,4]
+    Wm = np.zeros((ANGLE_BINS, 256, _DESC_AREA), dtype=np.float32)
+    for a in range(ANGLE_BINS):
+        th = 2.0 * np.pi * a / ANGLE_BINS
+        c, s = np.cos(th), np.sin(th)
+        for p in range(256):
+            x0, y0, x1, y1 = pat[p]
+            rx0 = int(round(c * x0 - s * y0)) + _DESC_R
+            ry0 = int(round(s * x0 + c * y0)) + _DESC_R
+            rx1 = int(round(c * x1 - s * y1)) + _DESC_R
+            ry1 = int(round(s * x1 + c * y1)) + _DESC_R
+            Wm[a, p, ry1 * _DESC_W + rx1] += 1.0
+            Wm[a, p, ry0 * _DESC_W + rx0] -= 1.0
+    return Wm.reshape(ANGLE_BINS * 256, _DESC_AREA)
+
+
+class _LevelGeom(NamedTuple):
+    H: int
+    W: int
+    cs: int  # NMS cell size (level px)
+    Gy: int
+    Gx: int
+    scale: float
+
+
+class OrbExtractor:
+    """Builds per-resolution static geometry and exposes a jitted extract().
+
+    Mirrors reference feature::orb_extractor::extract (orb_extractor.h:60-61):
+    takes a grayscale image (+ optional mask), returns keypoints + descriptors.
+    """
+
+    def __init__(
+        self,
+        params: OrbParams,
+        width: int,
+        height: int,
+        min_area: int = 800,  # reference system.cc:95 "min_size" default
+        mask_rects: Optional[Sequence[Tuple[float, float, float, float]]] = None,
+    ):
+        self.params = params
+        self.width = int(width)
+        self.height = int(height)
+        self.min_area_sqrt = math.sqrt(min_area)
+        self.border = orb_pattern.EDGE_BORDER
+        self.mask_rects = list(mask_rects or [])
+
+        self.levels: list[_LevelGeom] = []
+        for lvl in range(params.num_levels):
+            s = params.scale_factors[lvl]
+            W_l = max(int(round(width / s)), 2 * self.border + 8)
+            H_l = max(int(round(height / s)), 2 * self.border + 8)
+            span_x = W_l - 2 * self.border
+            span_y = H_l - 2 * self.border
+            cell = self.min_area_sqrt / s
+            Gx = max(int(math.ceil(span_x / cell)), 1)
+            Gy = max(int(math.ceil(span_y / cell)), 1)
+            cs = int(math.ceil(max(span_x / Gx, span_y / Gy)))
+            assert cs <= 31, "packed-key NMS assumes cell size <= 31 px"
+            self.levels.append(_LevelGeom(H_l, W_l, cs, Gy, Gx, s))
+
+        self.num_slots = sum(g.Gy * g.Gx for g in self.levels)
+        self._bit_matrix = jnp.asarray(_steered_bit_matrix(), dtype=jnp.bfloat16)
+        self._blur_matrix = jnp.asarray(_gauss_blur_matrix())
+        self._moment_vecs = jnp.asarray(_moment_vectors())
+        self._resize_mats = []
+        for lvl in range(1, params.num_levels):
+            gp, g = self.levels[lvl - 1], self.levels[lvl]
+            R, C = _resize_matrices(gp.H, gp.W, g.H, g.W)
+            self._resize_mats.append((jnp.asarray(R), jnp.asarray(C)))
+        self._extract = jax.jit(lambda img, m: self._extract_impl(img, m))
+        self._extract_nomask = jax.jit(lambda img: self._extract_impl(img, None))
+
+    # ------------------------------------------------------------------
+    def extract(self, image: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> FrameFeatures:
+        """image: [H,W] grayscale (u8 or f32, 0..255). mask: [H,W], 0 = excluded."""
+        img = jnp.asarray(image, dtype=jnp.float32)
+        if mask is not None:
+            return self._extract(img, jnp.asarray(mask) != 0)
+        return self._extract_nomask(img)
+
+    # ------------------------------------------------------------------
+    def _extract_impl(self, img0: jnp.ndarray, mask0: jnp.ndarray) -> FrameFeatures:
+        outs = []
+        patches = []
+        img = img0
+        for lvl, g in enumerate(self.levels):
+            if lvl > 0:
+                R, C = self._resize_mats[lvl - 1]
+                img = (R @ img) @ C.T  # bilinear INTER_LINEAR as two matmuls
+            out, patch = self._process_level(img, mask0, g, lvl)
+            outs.append(out)
+            patches.append(patch)
+
+        xy = jnp.concatenate([o[0] for o in outs], axis=0)
+        resp = jnp.concatenate([o[1] for o in outs], axis=0)
+        angle = jnp.concatenate([o[2] for o in outs], axis=0)
+        level = jnp.concatenate([o[3] for o in outs], axis=0)
+        valid = jnp.concatenate([o[4] for o in outs], axis=0)
+
+        desc = self._describe_all(jnp.concatenate(patches, axis=0), angle)
+        return FrameFeatures(xy=xy, response=resp, angle=angle, level=level,
+                             valid=valid, desc=desc)
+
+    # ------------------------------------------------------------------
+    def _process_level(self, img, mask0, g: _LevelGeom, lvl: int):
+        b = self.border
+        score = fast_score_map(img)
+
+        ys = jax.lax.broadcasted_iota(jnp.int32, (g.H, g.W), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (g.H, g.W), 1)
+        region = (xs >= b) & (xs < g.W - b) & (ys >= b) & (ys < g.H - b)
+        if mask0 is not None:
+            # nearest-resize the level-0 mask to this level (reference checks
+            # the mask at y*scale_factor, orb_extractor.cc:168-170)
+            m_l = jax.image.resize(
+                mask0.astype(jnp.float32), (g.H, g.W), method="nearest"
+            ) > 0.5
+            region = region & m_l
+
+        iscore = jnp.clip(jnp.round(score), 0, 1023).astype(jnp.int32)
+        corner_lo = region & (score > float(self.params.min_fast_thr))
+        corner_hi = score > float(self.params.ini_fast_thr)
+
+        # pack (score, row-in-cell, col-in-cell) into one int32 key
+        row_in = (ys - b) % g.cs
+        col_in = (xs - b) % g.cs
+        key_payload = (row_in << 5) | col_in
+        key_lo = jnp.where(corner_lo, (iscore << 10) | key_payload, -1)
+        key_hi = jnp.where(corner_lo & corner_hi, (iscore << 10) | key_payload, -1)
+
+        need_h, need_w = b + g.Gy * g.cs, b + g.Gx * g.cs
+
+        def cell_max(key):
+            sub = jnp.pad(
+                key,
+                ((0, max(0, need_h - g.H)), (0, max(0, need_w - g.W))),
+                constant_values=-1,
+            )[b:need_h, b:need_w]
+            st1 = jnp.max(sub.reshape(g.Gy, g.cs, g.Gx * g.cs), axis=1)
+            return jnp.max(st1.reshape(g.Gy, g.Gx, g.cs), axis=2)  # [Gy,Gx]
+
+        best_hi = cell_max(key_hi)
+        best_lo = cell_max(key_lo)
+        best = jnp.where(best_hi >= 0, best_hi, best_lo)  # two-threshold retry
+        valid = (best >= 0).reshape(-1)
+
+        cy = jax.lax.broadcasted_iota(jnp.int32, (g.Gy, g.Gx), 0)
+        cx = jax.lax.broadcasted_iota(jnp.int32, (g.Gy, g.Gx), 1)
+        py = (b + cy * g.cs + ((best >> 5) & 31)).reshape(-1)
+        px = (b + cx * g.cs + (best & 31)).reshape(-1)
+        py = jnp.clip(py, 0, g.H - 1)
+        px = jnp.clip(px, 0, g.W - 1)
+        resp = jnp.where(valid, (best.reshape(-1) >> 10).astype(jnp.float32), 0.0)
+
+        # ---- raw 45x45 patches at winners (one-hot bf16 contractions) ----
+        patch_raw = self._extract_patches(img, px, py, g)  # [K, _RAW_AREA] f32
+
+        # ---- IC-angle from patch moments (reference orb_impl.cc ic_angle) ----
+        moments = patch_raw @ self._moment_vecs  # [K, 2] = (m10, m01)
+        angle = jnp.where(valid, jnp.arctan2(moments[:, 1], moments[:, 0]), 0.0)
+
+        # ---- in-patch 7x7 sigma=2 blur, rounded to integer gray levels ----
+        patch_blur = jnp.round(patch_raw @ self._blur_matrix.T)  # [K, _DESC_AREA]
+
+        n = g.Gy * g.Gx
+        xy0 = jnp.stack([px.astype(jnp.float32) * g.scale,
+                         py.astype(jnp.float32) * g.scale], axis=-1)
+        level = jnp.full((n,), lvl, dtype=jnp.int32)
+        return (xy0, resp, angle, level, valid), patch_blur.astype(jnp.bfloat16)
+
+    # ------------------------------------------------------------------
+    def _extract_patches(self, img, px, py, g: _LevelGeom):
+        """[K] keypoints -> [K, _RAW_AREA] f32 raw patches, via two one-hot
+        bf16 contractions (row select then column select) on the MXU.
+        Integer pixel values up to 255 are exact in bf16."""
+        K = px.shape[0]
+        dys = jnp.arange(-_RAW_R, _RAW_R + 1, dtype=jnp.int32)
+        rows_idx = jnp.clip(py[:, None] + dys[None, :], 0, g.H - 1)  # [K,45]
+        cols_idx = jnp.clip(px[:, None] + dys[None, :], 0, g.W - 1)  # [K,45]
+        ih = jax.lax.broadcasted_iota(jnp.int32, (1, 1, g.H), 2)
+        ohr = (rows_idx[:, :, None] == ih).astype(jnp.bfloat16)  # [K,45,H]
+        img_b = img.astype(jnp.bfloat16)
+        rows = jax.lax.dot_general(
+            ohr.reshape(K * _RAW_W, g.H), img_b,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(K, _RAW_W, g.W).astype(jnp.bfloat16)  # [K,45,W]
+        iw = jax.lax.broadcasted_iota(jnp.int32, (1, 1, g.W), 2)
+        ohc = (cols_idx[:, :, None] == iw).astype(jnp.bfloat16)  # [K,45,W]
+        patch = jax.lax.dot_general(
+            rows, ohc,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [K, 45(rows), 45(cols)]
+        return patch.reshape(K, _RAW_AREA)
+
+    # ------------------------------------------------------------------
+    def _describe_all(self, patches, angle):
+        """patches [Ktot, _DESC_AREA] bf16 (blurred, integer values),
+        angle [Ktot] -> [Ktot, 8] uint32."""
+        Ktot = patches.shape[0]
+        vals = jax.lax.dot_general(
+            patches, self._bit_matrix,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Ktot, A*256]
+        vals = vals.reshape(Ktot, ANGLE_BINS, 256)
+        tau = 2.0 * jnp.pi / ANGLE_BINS
+        bin_idx = jnp.mod(jnp.round(angle / tau).astype(jnp.int32), ANGLE_BINS)
+        ia = jax.lax.broadcasted_iota(jnp.int32, (1, ANGLE_BINS), 1)
+        oh = (bin_idx[:, None] == ia).astype(jnp.float32)  # [Ktot, A]
+        sel = jnp.einsum("kap,ka->kp", vals, oh)  # [Ktot, 256]
+        bits = (sel > 0).astype(jnp.uint32)
+        words = bits.reshape(Ktot, 8, 32)
+        shifts = jnp.asarray([jnp.uint32(1) << k for k in range(32)], dtype=jnp.uint32)
+        return jnp.sum(words * shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def scaled_patch_sizes(params: OrbParams) -> np.ndarray:
+    """keypoint.size analog (reference orb_extractor.cc:274)."""
+    return np.asarray(
+        [orb_pattern.PATCH_SIZE * s for s in params.scale_factors], dtype=np.float32
+    )
+
+
+def gaussian_blur_7x7(img: jnp.ndarray) -> jnp.ndarray:
+    """Full-image separable 7-tap sigma=2 blur (reflect-101). Not on the hot
+    path (single-channel convs are slow on TPU); kept for tests/tools."""
+    k = jnp.asarray(orb_pattern.gaussian_kernel_7x7())
+    pad = 3
+    x = jnp.pad(img, ((pad, pad), (pad, pad)), mode="reflect")
+    H, W = img.shape
+    out_r = jnp.zeros((H, W + 2 * pad), dtype=img.dtype)
+    for i in range(7):
+        out_r = out_r + k[i] * jax.lax.slice(x, (i, 0), (i + H, W + 2 * pad))
+    out = jnp.zeros((H, W), dtype=img.dtype)
+    for i in range(7):
+        out = out + k[i] * jax.lax.slice(out_r, (0, i), (H, i + W))
+    return out

@@ -1,0 +1,115 @@
+"""Brute-force robust matchers, dense masked form.
+
+Reference: src/stella_vslam/match/robust.cc — all-pairs Hamming with ratio test
++ orientation consistency; match_for_triangulation adds the bearing-space
+epipolar residual gate and an epipole-proximity rejection; match_keyframes /
+match_frame_and_keyframe post-validate with an essential-matrix RANSAC (done by
+the caller here — this module returns raw correspondences)."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from stella_vslam_tpu.match import hamming as H
+
+# cos(3 deg): epipole proximity rejection (robust.cc:96 cos_dist_thr)
+_COS_EPIPOLE_THR = 0.99862953475
+
+
+def match_for_triangulation(
+    # keyframe 1 keypoints
+    kp1_angle: jnp.ndarray,  # [N1]
+    kp1_level: jnp.ndarray,  # [N1]
+    kp1_desc: jnp.ndarray,  # [N1,8]
+    kp1_bearing: jnp.ndarray,  # [N1,3]
+    kp1_valid: jnp.ndarray,  # [N1] bool (valid & un-associated)
+    kp1_is_stereo: jnp.ndarray,  # [N1] bool
+    # keyframe 2 keypoints
+    kp2_angle: jnp.ndarray,
+    kp2_desc: jnp.ndarray,
+    kp2_bearing: jnp.ndarray,
+    kp2_valid: jnp.ndarray,
+    kp2_is_stereo: jnp.ndarray,
+    # geometry
+    E_12: jnp.ndarray,  # essential matrix kf1<-kf2 (bearing space)
+    epiplane_in_2: jnp.ndarray,  # [3] bearing of kf1 camera center in kf2, or zeros
+    epiplane_valid: bool,
+    *,
+    scale_factors: jnp.ndarray,
+    residual_rad_thr: float = 0.2 * jnp.pi / 180.0,
+    lowe_ratio: float = 0.75,
+    check_orientation: bool = True,
+):
+    """reference robust::match_for_triangulation (robust.cc:14-141).
+    Returns (best_idx2 [N1], accepted [N1], best_dist [N1])."""
+    N2 = kp2_desc.shape[0]
+    dist = H.pairwise_hamming(kp1_desc, kp2_desc)  # [N1,N2]
+
+    cand = kp1_valid[:, None] & kp2_valid[None, :]
+    if check_orientation:
+        d = kp1_angle[:, None] - kp2_angle[None, :]
+        d = jnp.arctan2(jnp.sin(d), jnp.cos(d))
+        cand = cand & (jnp.abs(d) <= jnp.deg2rad(30.0))
+
+    # reject keypoints too close to the epipole (parallax too small), unless
+    # either keypoint has stereo depth
+    if epiplane_valid:
+        cos_dist = jnp.einsum("j,nj->n", epiplane_in_2, kp2_bearing)  # [N2]
+        near_epipole = cos_dist > _COS_EPIPOLE_THR
+        mono_pair = (~kp1_is_stereo[:, None]) & (~kp2_is_stereo[None, :])
+        cand = cand & ~(mono_pair & near_epipole[None, :])
+
+    # epipolar residual gate, scale-aware
+    ok_epi = H.check_epipolar_constraint(
+        kp1_bearing[:, None, :],
+        kp2_bearing[None, :, :],
+        E_12,
+        residual_rad_thr,
+        H.take_small_table(scale_factors, kp1_level)[:, None],
+    )
+    cand = cand & ok_epi
+
+    dist = jnp.where(cand, dist, H.MAX_HAMMING_DIST + 1)
+    best, best_idx, second = H.best_and_second(dist, axis=1)
+    accepted = (
+        (best <= H.HAMMING_DIST_THR_LOW)
+        & (best.astype(jnp.float32) <= lowe_ratio * second.astype(jnp.float32))
+        & kp1_valid
+    )
+    accepted = H.resolve_duplicate_targets(best_idx, best, accepted, N2)
+    return best_idx, accepted, best
+
+
+def brute_force_match(
+    # frame (or keyframe 1) keypoints
+    kp1_angle: jnp.ndarray,  # [N1]
+    kp1_desc: jnp.ndarray,  # [N1,8]
+    kp1_valid: jnp.ndarray,  # [N1]
+    # keyframe keypoints with landmarks
+    kp2_angle: jnp.ndarray,  # [N2]
+    kp2_desc: jnp.ndarray,  # [N2,8]
+    kp2_valid: jnp.ndarray,  # [N2] valid & has landmark
+    *,
+    lowe_ratio: float = 0.75,
+    check_orientation: bool = True,
+):
+    """reference robust::brute_force_match (robust.cc:232-330): for each
+    keyframe landmark observation (idx_2), find the best frame keypoint.
+    Returns (best_idx1 [N2], accepted [N2], best_dist [N2])."""
+    N1 = kp1_desc.shape[0]
+    dist = H.pairwise_hamming(kp2_desc, kp1_desc)  # [N2,N1]
+
+    cand = kp2_valid[:, None] & kp1_valid[None, :]
+    if check_orientation:
+        d = kp1_angle[None, :] - kp2_angle[:, None]
+        d = jnp.arctan2(jnp.sin(d), jnp.cos(d))
+        cand = cand & (jnp.abs(d) <= jnp.deg2rad(30.0))
+
+    dist = jnp.where(cand, dist, H.MAX_HAMMING_DIST + 1)
+    best, best_idx, second = H.best_and_second(dist, axis=1)
+    accepted = (
+        (best <= H.HAMMING_DIST_THR_LOW)
+        & (best.astype(jnp.float32) <= lowe_ratio * second.astype(jnp.float32))
+        & kp2_valid
+    )
+    accepted = H.resolve_duplicate_targets(best_idx, best, accepted, N1)
+    return best_idx, accepted, best
