@@ -7,11 +7,15 @@ accept at HAMMING_DIST_THR_LOW, with per-target dedup (scatter-min here instead
 of the reference's sequential overwrite)."""
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from stella_vslam_tpu.match import hamming as H
 
 
+@partial(jax.jit, static_argnames=("check_orientation",))
 def match_in_consistent_area(
     # frame 1 (init frame)
     kp1_level: jnp.ndarray,  # [N1]

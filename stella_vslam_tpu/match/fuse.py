@@ -11,6 +11,9 @@ computed by the caller (module/local map code) which owns the landmark stats.
 """
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from stella_vslam_tpu.match import hamming as H
@@ -19,6 +22,7 @@ CHI_SQ_2D = 5.99146
 CHI_SQ_3D = 7.81473
 
 
+@partial(jax.jit, static_argnames=("num_levels",))
 def detect_duplication(
     # keyframe keypoints
     kp_uv: jnp.ndarray,  # [N,2] undistorted

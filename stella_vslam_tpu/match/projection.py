@@ -13,11 +13,15 @@ landmarks choosing the same keypoint are resolved by scatter-min
 """
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from stella_vslam_tpu.match import hamming as H
 
 
+@partial(jax.jit, static_argnames=("num_levels",))
 def match_frame_and_landmarks(
     # frame keypoints
     kp_uv: jnp.ndarray,  # [N,2] undistorted keypoint coords
@@ -91,6 +95,7 @@ def match_frame_and_landmarks(
     return best_idx, accepted, best
 
 
+@partial(jax.jit, static_argnames=("num_levels", "assume_forward", "assume_backward", "check_orientation"))
 def match_current_and_last_frames(
     kp_uv: jnp.ndarray,  # [N,2] current undistorted keypoints
     kp_level: jnp.ndarray,
@@ -151,6 +156,7 @@ def match_current_and_last_frames(
     return best_idx, accepted, best
 
 
+@partial(jax.jit, static_argnames=("num_levels", "hamm_dist_thr", "check_orientation"))
 def match_frame_and_keyframe(
     kp_uv: jnp.ndarray,  # [N,2] current frame undistorted keypoints
     kp_level: jnp.ndarray,

@@ -7,6 +7,9 @@ match_frame_and_keyframe post-validate with an essential-matrix RANSAC (done by
 the caller here — this module returns raw correspondences)."""
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from stella_vslam_tpu.match import hamming as H
@@ -15,6 +18,7 @@ from stella_vslam_tpu.match import hamming as H
 _COS_EPIPOLE_THR = 0.99862953475
 
 
+@partial(jax.jit, static_argnames=("epiplane_valid", "check_orientation"))
 def match_for_triangulation(
     # keyframe 1 keypoints
     kp1_angle: jnp.ndarray,  # [N1]
@@ -79,6 +83,7 @@ def match_for_triangulation(
     return best_idx, accepted, best
 
 
+@partial(jax.jit, static_argnames=("check_orientation",))
 def brute_force_match(
     # frame (or keyframe 1) keypoints
     kp1_angle: jnp.ndarray,  # [N1]

@@ -230,9 +230,26 @@ def sim3_log(s, R, t) -> jnp.ndarray:
 
 
 def rotation_project(R: jnp.ndarray) -> jnp.ndarray:
-    """Re-orthonormalize a near-rotation matrix via SVD (batched)."""
+    """Re-orthonormalize a near-rotation matrix via SVD (batched).
+    Exact polar projection; prefer rotation_project_fast in batched hot paths
+    (TPU lowers batched small SVDs to slow iterative loops)."""
     U, _, Vt = jnp.linalg.svd(R)
     det = jnp.linalg.det(U @ Vt)
     D = jnp.ones(R.shape[:-2] + (3,), dtype=R.dtype)
     D = D.at[..., 2].set(det)
     return U @ (D[..., :, None] * Vt)
+
+
+def rotation_project_fast(R: jnp.ndarray, num_iter: int = 8) -> jnp.ndarray:
+    """Nearest-rotation projection via scaled Newton-Schulz polar iteration —
+    pure batched matmuls (MXU-friendly), converges for inputs within ~unit
+    distance of O(3). Sign is corrected to det=+1 first."""
+    det = jnp.linalg.det(R)
+    R = R * jnp.sign(det)[..., None, None]
+    # pre-scale so singular values are <= ~1
+    norm = jnp.sqrt(jnp.sum(R * R, axis=(-2, -1), keepdims=True) / 3.0 + 1e-12)
+    X = R / norm
+    eye = jnp.eye(3, dtype=R.dtype)
+    for _ in range(num_iter):
+        X = 1.5 * X - 0.5 * X @ jnp.swapaxes(X, -1, -2) @ X
+    return X

@@ -1,0 +1,291 @@
+"""Bundle adjustment with Schur complement as a fixed-shape JAX program.
+
+Replaces the reference's g2o/SuiteSparse stack
+(src/stella_vslam/optimize/local_bundle_adjuster_g2o.cc:36-415,
+global_bundle_adjuster.cc) with a TPU-native sparse Gauss-Newton /
+Levenberg-Marquardt engine:
+
+* observations live in LANDMARK-MAJOR layout [L, D] (D = max observers per
+  landmark inside the problem, padded slots masked) — so landmark positions
+  broadcast with zero gathers, and the Schur complement factorizes exactly:
+
+      S[k,m] = Hcc[k] - sum_l  Vk[l,k] @ Wk[l,m]^T
+      Vk[l,k] = sum_d onehot(cam[l,d]=k) * (W[l,d] @ Hpp_inv[l])
+      Wk[l,k] = sum_d onehot(cam[l,d]=k) * W[l,d]
+
+  — every step is a one-hot contraction (MXU matmul), no scatter, no gather.
+* the reduced camera system (6K x 6K, K <= 64 local / ~256 global buckets) is
+  solved densely — at SLAM scales a dense MXU solve beats sparse CPU Cholesky.
+* schedule mirrors the reference local BA: 5 robust (Huber) iterations,
+  chi-square outlier reclassification, 10 plain iterations, final outlier
+  report (local_bundle_adjuster_g2o.cc:306-348).
+
+Fixed keyframes (the reference's 'fixed' set, cc:108-133) are masked: their
+rows/cols of S are replaced by identity so their update is exactly zero.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from stella_vslam_tpu.ops import lie
+from stella_vslam_tpu.ops.optim import residuals as res_mod
+from stella_vslam_tpu.ops import linalg as linalg_small
+
+CHI_SQ_2D = 5.991
+CHI_SQ_3D = 7.815
+
+
+class BAProblem(NamedTuple):
+    """Padded fixed-shape BA problem. K cameras, L landmarks, D obs/landmark."""
+
+    cam_R: jnp.ndarray  # [K,3,3] camera-from-world rotations
+    cam_t: jnp.ndarray  # [K,3]
+    cam_fixed: jnp.ndarray  # [K] bool — pose held constant
+    cam_valid: jnp.ndarray  # [K] bool — slot used
+    lm_pos: jnp.ndarray  # [L,3]
+    lm_valid: jnp.ndarray  # [L] bool
+    obs_cam: jnp.ndarray  # [L,D] i32 camera slot of each observation
+    obs_uv: jnp.ndarray  # [L,D,2] undistorted observation
+    obs_x_right: jnp.ndarray  # [L,D] stereo x_right (<0 mono)
+    obs_inv_sigma_sq: jnp.ndarray  # [L,D]
+    obs_valid: jnp.ndarray  # [L,D] bool
+
+
+class BAResult(NamedTuple):
+    cam_R: jnp.ndarray
+    cam_t: jnp.ndarray
+    lm_pos: jnp.ndarray
+    obs_is_outlier: jnp.ndarray  # [L,D] bool (chi-square gated, final poses)
+    cost: jnp.ndarray  # final total robust cost
+
+
+def _residuals(prob: BAProblem, cam_R, cam_t, lm_pos, cam: res_mod.CamScalars, model: str):
+    """Flattened residual evaluation over [L*D] observation slots."""
+    L, D = prob.obs_cam.shape
+    K = cam_R.shape[0]
+    res_fn = res_mod.RESIDUAL_FNS[model]
+
+    # per-obs camera poses via one-hot contraction [L,D,K]
+    ik = jax.lax.broadcasted_iota(jnp.int32, (L, D, K), 2)
+    oh = (prob.obs_cam[:, :, None] == ik).astype(jnp.float32)  # [L,D,K]
+    R_o = jnp.einsum("ldk,kij->ldij", oh, cam_R)  # [L,D,3,3]
+    t_o = jnp.einsum("ldk,ki->ldi", oh, cam_t)  # [L,D,3]
+
+    p = jnp.broadcast_to(lm_pos[:, None, :], (L, D, 3))
+    Xc = jnp.einsum("ldij,ldj->ldi", R_o, p) + t_o
+
+    # evaluate the residual model on flattened [L*D]
+    flat = lambda a: a.reshape((L * D,) + a.shape[2:])
+    # residual fns take (R, t) as single pose; reimplement inline for batched
+    # poses: the perspective/equirect math only needs Xc and R for J_point.
+    if model == "equirectangular":
+        r, dpi, dof, depth_ok = _equirect_from_Xc(flat(Xc), flat(prob.obs_uv), cam)
+    else:
+        r, dpi, dof, depth_ok = _perspective_from_Xc(
+            flat(Xc), flat(prob.obs_uv), flat(prob.obs_x_right), cam
+        )
+    J_pose = dpi @ jnp.concatenate(
+        [
+            jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), (L * D, 3, 3)),
+            -lie.hat(flat(Xc)),
+        ],
+        axis=-1,
+    )  # [LD,3,6]
+    J_point = dpi @ flat(R_o)  # [LD,3,3]
+    return (
+        r.reshape(L, D, 3),
+        J_pose.reshape(L, D, 3, 6),
+        J_point.reshape(L, D, 3, 3),
+        dof.reshape(L, D, 3),
+        depth_ok.reshape(L, D),
+        oh,
+    )
+
+
+def _perspective_from_Xc(Xc, obs_uv, obs_xr, cam: res_mod.CamScalars):
+    x, y, z = Xc[:, 0], Xc[:, 1], Xc[:, 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    iz = 1.0 / z_safe
+    iz2 = iz * iz
+    u = cam.fx * x * iz + cam.cx
+    v = cam.fy * y * iz + cam.cy
+    u_r = u - cam.focal_x_baseline * iz
+    has_stereo = obs_xr > 0
+    r = jnp.stack(
+        [u - obs_uv[:, 0], v - obs_uv[:, 1],
+         jnp.where(has_stereo, u_r - obs_xr, 0.0)], axis=-1
+    )
+    zero = jnp.zeros_like(x)
+    row_u = jnp.stack([cam.fx * iz, zero, -cam.fx * x * iz2], axis=-1)
+    row_v = jnp.stack([zero, cam.fy * iz, -cam.fy * y * iz2], axis=-1)
+    row_r = jnp.stack(
+        [cam.fx * iz, zero, -cam.fx * x * iz2 + cam.focal_x_baseline * iz2], axis=-1
+    )
+    dpi = jnp.stack([row_u, row_v, row_r], axis=-2)
+    dof = jnp.stack([jnp.ones_like(z), jnp.ones_like(z), has_stereo.astype(z.dtype)], axis=-1)
+    return r, dpi, dof, z > 1e-4
+
+
+def _equirect_from_Xc(Xc, obs_uv, cam: res_mod.CamScalars):
+    x, y, z = Xc[:, 0], Xc[:, 1], Xc[:, 2]
+    Ln = jnp.linalg.norm(Xc, axis=-1)
+    Ln = jnp.where(Ln < 1e-8, 1e-8, Ln)
+    xz2 = jnp.where(x * x + z * z < 1e-12, 1e-12, x * x + z * z)
+    ku = cam.width / (2.0 * jnp.pi)
+    kv = cam.height / jnp.pi
+    u = cam.cx + ku * jnp.arctan2(x, z)
+    v = cam.cy + kv * jnp.arcsin(jnp.clip(y / Ln, -1.0, 1.0))
+    du = jnp.mod(u - obs_uv[:, 0] + cam.width / 2.0, cam.width) - cam.width / 2.0
+    dv = v - obs_uv[:, 1]
+    r = jnp.stack([du, dv, jnp.zeros_like(du)], axis=-1)
+    zero = jnp.zeros_like(x)
+    row_u = jnp.stack([ku * z / xz2, zero, -ku * x / xz2], axis=-1)
+    L2 = Ln * Ln
+    denom = L2 * jnp.sqrt(xz2)
+    row_v = jnp.stack(
+        [-kv * x * y / denom, kv * jnp.sqrt(xz2) / L2, -kv * z * y / denom], axis=-1
+    )
+    dpi = jnp.stack([row_u, row_v, jnp.zeros_like(row_u)], axis=-2)
+    dof = jnp.stack([jnp.ones_like(x), jnp.ones_like(x), zero], axis=-1)
+    return r, dpi, dof, Ln > 1e-6
+
+
+def _gn_step(prob: BAProblem, cam_R, cam_t, lm_pos, inlier, cam, model,
+             use_huber: bool, lam: jnp.ndarray):
+    L, D = prob.obs_cam.shape
+    K = cam_R.shape[0]
+    r, Jc, Jp, dof, depth_ok, oh = _residuals(prob, cam_R, cam_t, lm_pos, cam, model)
+
+    w_base = (
+        prob.obs_valid & inlier & depth_ok & prob.lm_valid[:, None]
+    ).astype(jnp.float32) * prob.obs_inv_sigma_sq  # [L,D]
+    chi2 = jnp.sum(r * r * dof, axis=-1) * prob.obs_inv_sigma_sq
+    is_stereo = prob.obs_x_right > 0
+    chi_thr = jnp.where(is_stereo, CHI_SQ_3D, CHI_SQ_2D)
+    chi = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    sqrt_thr = jnp.sqrt(chi_thr)
+    huber_w = jnp.where(use_huber & (chi > sqrt_thr), sqrt_thr / chi, 1.0)
+    w = w_base * huber_w  # [L,D]
+    cost = jnp.sum(w * jnp.sum(r * r * dof, axis=-1))
+
+    Jc_w = Jc * (dof * w[..., None])[..., None]  # weighted rows [L,D,3,6]
+    Jp_w = Jp * (dof * w[..., None])[..., None]
+
+    # blocks
+    Hpp = jnp.einsum("ldki,ldkj->lij", Jp_w, Jp)  # [L,3,3]
+    b_p = jnp.einsum("ldki,ldk->li", Jp_w, r)  # [L,3]
+    Hcc = jnp.einsum("ldk,ldri,ldrj->kij", oh, Jc_w, Jc)  # [K,6,6]
+    b_c = jnp.einsum("ldk,ldri,ldr->ki", oh, Jc_w, r)  # [K,6]
+    Wm = jnp.einsum("ldri,ldrj->ldij", Jc_w, Jp)  # [L,D,6,3]
+
+    # LM damping
+    eyeL3 = jnp.eye(3, dtype=Hpp.dtype)
+    Hpp_d = Hpp + (lam * jnp.maximum(jnp.trace(Hpp, axis1=-2, axis2=-1) / 3.0, 1e-6)[
+        :, None, None] + 1e-7) * eyeL3
+    Hpp_inv = linalg_small.inv3x3(Hpp_d)  # [L,3,3] closed-form adjugate (batched
+    # jnp.linalg.inv lowers to a slow per-matrix LAPACK-style loop on TPU)
+
+    V = jnp.einsum("ldij,ljk->ldik", Wm, Hpp_inv)  # [L,D,6,3]
+    Vk = jnp.einsum("ldk,ldij->lkij", oh, V)  # [L,K,6,3]
+    Wk = jnp.einsum("ldk,ldij->lkij", oh, Wm)  # [L,K,6,3]
+    S_red = jnp.einsum("lkia,lmja->kmij", Vk, Wk)  # [K,K,6,6]
+
+    eye6 = jnp.eye(6, dtype=Hcc.dtype)
+    diag_damp = lam * jnp.maximum(jnp.trace(Hcc, axis1=-2, axis2=-1) / 6.0, 1e-6)
+    Hcc_d = Hcc + (diag_damp[:, None, None] + 1e-7) * eye6
+    # diagonal embedding without scatter: broadcast-where on an identity mask
+    eyeK = (
+        jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    ).astype(S_red.dtype)[:, :, None, None]
+    S = -S_red + eyeK * Hcc_d[:, None, :, :]
+
+    rhs = b_c - jnp.einsum("lkij,lj->ki", Vk, b_p)  # [K,6]
+
+    # mask fixed / invalid cameras: identity rows/cols, zero rhs
+    free = (prob.cam_valid & ~prob.cam_fixed).astype(S.dtype)  # [K]
+    mask2 = free[:, None, None, None] * free[None, :, None, None]
+    S = S * mask2 + eyeK * ((1.0 - free)[:, None, None, None] * eye6[None])
+    rhs = rhs * free[:, None]
+
+    # dense solve of the reduced camera system
+    Sd = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    dx = -jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(K, 6)
+    dx = dx * free[:, None]
+
+    # back-substitute landmarks
+    dx_o = jnp.einsum("ldk,ki->ldi", oh, dx)  # [L,D,6]
+    wtd = jnp.einsum("ldij,ldi->lj", Wm, dx_o)  # [L,3]
+    dp = -jnp.einsum("lij,lj->li", Hpp_inv, b_p + wtd)
+    dp = dp * prob.lm_valid[:, None].astype(dp.dtype)
+    # landmarks with no active observation: no update
+    has_obs = jnp.sum(w_base, axis=1) > 0
+    dp = dp * has_obs[:, None].astype(dp.dtype)
+
+    dR, dt = lie.se3_exp(dx)
+    cam_R_new, cam_t_new = lie.se3_compose(dR, dt, cam_R, cam_t)
+    lm_new = lm_pos + dp
+    return cam_R_new, cam_t_new, lm_new, cost, chi2
+
+
+def _total_cost(prob, cam_R, cam_t, lm_pos, inlier, cam, model, use_huber):
+    r, _, _, dof, depth_ok, _ = _residuals(prob, cam_R, cam_t, lm_pos, cam, model)
+    w_base = (
+        prob.obs_valid & inlier & depth_ok & prob.lm_valid[:, None]
+    ).astype(jnp.float32) * prob.obs_inv_sigma_sq
+    chi2 = jnp.sum(r * r * dof, axis=-1) * prob.obs_inv_sigma_sq
+    is_stereo = prob.obs_x_right > 0
+    chi_thr = jnp.where(is_stereo, CHI_SQ_3D, CHI_SQ_2D)
+    chi = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    sqrt_thr = jnp.sqrt(chi_thr)
+    huber_w = jnp.where(use_huber & (chi > sqrt_thr), sqrt_thr / chi, 1.0)
+    return jnp.sum(w_base * huber_w * jnp.sum(r * r * dof, axis=-1)), chi2, depth_ok
+
+
+@partial(jax.jit, static_argnames=("model", "num_first", "num_second"))
+def bundle_adjust(
+    prob: BAProblem,
+    cam: res_mod.CamScalars,
+    *,
+    model: str = "perspective",
+    num_first: int = 5,
+    num_second: int = 10,
+) -> BAResult:
+    """Two-stage LM schedule mirroring the reference local BA
+    (local_bundle_adjuster_g2o.cc:306-348): robust rounds, outlier
+    reclassification, plain rounds, final outlier flags."""
+
+    def stage(cam_R, cam_t, lm_pos, inlier, use_huber, iters):
+        def body(carry, _):
+            cam_R, cam_t, lm_pos, lam = carry
+            Rn, tn, pn, cost0, _ = _gn_step(
+                prob, cam_R, cam_t, lm_pos, inlier, cam, model, use_huber, lam
+            )
+            cost1, _, _ = _total_cost(prob, Rn, tn, pn, inlier, cam, model, use_huber)
+            improved = cost1 < cost0
+            cam_R = jnp.where(improved, Rn, cam_R)
+            cam_t = jnp.where(improved, tn, cam_t)
+            lm_pos = jnp.where(improved, pn, lm_pos)
+            lam = jnp.clip(jnp.where(improved, lam * 0.5, lam * 4.0), 1e-8, 1e4)
+            return (cam_R, cam_t, lm_pos, lam), cost1
+
+        (cam_R, cam_t, lm_pos, _), costs = jax.lax.scan(
+            body, (cam_R, cam_t, lm_pos, jnp.float32(1e-4)), None, length=iters
+        )
+        return cam_R, cam_t, lm_pos, costs[-1]
+
+    inlier0 = jnp.ones_like(prob.obs_valid)
+    R1, t1, p1, _ = stage(prob.cam_R, prob.cam_t, prob.lm_pos, inlier0, True, num_first)
+    # reclassify (cc:306-329)
+    _, chi2_mid, depth_ok_mid = _total_cost(prob, R1, t1, p1, inlier0, cam, model, False)
+    is_stereo = prob.obs_x_right > 0
+    chi_thr = jnp.where(is_stereo, CHI_SQ_3D, CHI_SQ_2D)
+    inlier1 = (chi2_mid <= chi_thr) & depth_ok_mid
+    R2, t2, p2, cost = stage(R1, t1, p1, inlier1, False, num_second)
+    _, chi2_fin, depth_ok_fin = _total_cost(prob, R2, t2, p2, inlier1, cam, model, False)
+    outlier = prob.obs_valid & ((chi2_fin > chi_thr) | ~depth_ok_fin)
+    return BAResult(cam_R=R2, cam_t=t2, lm_pos=p2, obs_is_outlier=outlier, cost=cost)

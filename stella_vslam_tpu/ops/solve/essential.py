@@ -1,0 +1,130 @@
+"""Batched essential-matrix RANSAC on bearing vectors.
+
+Reference: src/stella_vslam/solve/essential_solver.{h,cc} — RANSAC with the
+5-point Stewenius minimal solver + 8-point nonminimal recompute, angular
+inlier check (1 deg epipolar-plane cosine, essential_solver.cc:228-270),
+4-way (R, t) decomposition.
+
+TPU deviation (documented): the Stewenius action-matrix step needs a
+nonsymmetric 10x10 eigendecomposition, which XLA does not provide on TPU
+(jnp.linalg.eig is CPU-only). We run the RANSAC over batched 8-point minimal
+sets instead — same scoring, same recompute, more hypotheses to reach the same
+success probability at 8 samples per set.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from stella_vslam_tpu.ops import lie
+from stella_vslam_tpu.ops.solve import ransac
+
+COS_ANGLE_THR = float(jnp.cos(1.0 * jnp.pi / 180.0))
+
+
+class EssentialResult(NamedTuple):
+    E_21: jnp.ndarray
+    is_inlier: jnp.ndarray
+    cost: jnp.ndarray
+    num_inliers: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def compute_E_21(b1: jnp.ndarray, b2: jnp.ndarray, valid=None) -> jnp.ndarray:
+    """8-point-style linear solve on bearing pairs [..., k, 3]
+    (reference compute_E_21_nonminimal, essential_solver.cc:104-130):
+    rows are [b2.x*b1, b2.y*b1, b2.z*b1] so that b2^T E b1 = 0."""
+    A = jnp.concatenate(
+        [
+            b2[..., 0:1] * b1,
+            b2[..., 1:2] * b1,
+            b2[..., 2:3] * b1,
+        ],
+        axis=-1,
+    )  # [..., k, 9]
+    if valid is not None:
+        A = A * valid[..., None].astype(A.dtype)
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    e = ransac.smallest_eigvec_sym(AtA)
+    return e.reshape(e.shape[:-1] + (3, 3))
+
+
+def _angular_cost(E_21, b1, b2):
+    """reference essential_solver::check_inliers — sine of the angle between
+    each bearing and its epipolar plane, both directions, capped cost."""
+    ep2 = jnp.einsum("...ij,...nj->...ni", E_21, b1)  # epiplane normal in 2
+    ep1 = jnp.einsum("...ji,...nj->...ni", E_21, b2)  # E_12 = E_21^T
+    cos_in_2 = jnp.linalg.norm(jnp.cross(ep2, b2), axis=-1) / (
+        jnp.linalg.norm(ep2, axis=-1) + 1e-12
+    )
+    cos_in_1 = jnp.linalg.norm(jnp.cross(ep1, b1), axis=-1) / (
+        jnp.linalg.norm(ep1, axis=-1) + 1e-12
+    )
+    worst = jnp.minimum(cos_in_1, cos_in_2)
+    inlier = worst > COS_ANGLE_THR
+    cost = jnp.where(inlier, 1.0 - worst, 1.0 - COS_ANGLE_THR)
+    return inlier, cost
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "recompute", "min_set_size"))
+def find_via_ransac(
+    key: jax.Array,
+    b1: jnp.ndarray,  # [N,3] bearings frame/keyframe 1
+    b2: jnp.ndarray,  # [N,3] matched bearings 2
+    match_valid: jnp.ndarray,
+    *,
+    num_hypotheses: int = 256,
+    recompute: bool = True,
+    min_set_size: int = 8,
+) -> EssentialResult:
+    idx = ransac.sample_minimal_sets(key, match_valid, num_hypotheses, min_set_size)
+    s1 = ransac.gather_sets(b1, idx)
+    s2 = ransac.gather_sets(b2, idx)
+    E = compute_E_21(s1, s2)
+
+    inlier, cost = _angular_cost(E, b1[None], b2[None])
+    inlier = inlier & match_valid[None, :]
+    cost = jnp.where(match_valid[None, :], cost, 0.0)
+    num_in = jnp.sum(inlier, axis=-1)
+    total = jnp.sum(cost, axis=-1)
+    best, ok = ransac.select_best(total, num_in, min_set_size)
+
+    E_best = E[best]
+    inl = inlier[best]
+    if recompute:
+        E_re = compute_E_21(b1, b2, valid=inl)
+        in_re, _ = _angular_cost(E_re, b1, b2)
+        in_re = in_re & match_valid
+        better = jnp.sum(in_re) >= jnp.sum(inl)
+        E_best = jnp.where(better, E_re, E_best)
+        inl = jnp.where(better, in_re, inl)
+    total_b = jnp.where(ok, total[best], jnp.float32(3.0e38))
+    return EssentialResult(E_best, inl, total_b, jnp.sum(inl), ok)
+
+
+def decompose(E_21: jnp.ndarray):
+    """4 motion hypotheses (R_21, t_21) from E (reference decompose,
+    essential_solver.cc:193-219). Returns (R [4,3,3], t [4,3])."""
+    U, _, Vt = jnp.linalg.svd(E_21)
+    t = U[:, 2]
+    t = t / (jnp.linalg.norm(t) + 1e-12)
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    R1 = U @ W @ Vt
+    R1 = jnp.where(jnp.linalg.det(R1) < 0, -R1, R1)
+    R2 = U @ W.T @ Vt
+    R2 = jnp.where(jnp.linalg.det(R2) < 0, -R2, R2)
+    R = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([t, -t, t, -t])
+    return R, ts
+
+
+def create_E_21(R_1w, t_1w, R_2w, t_2w):
+    """E from two camera poses (reference essential_solver::create_E_21,
+    used in mapping triangulation, mapping_module.cc:326)."""
+    R_21 = R_2w @ R_1w.T
+    t_21 = -R_21 @ t_1w + t_2w
+    return lie.hat(t_21) @ R_21

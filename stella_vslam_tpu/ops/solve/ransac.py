@@ -1,0 +1,91 @@
+"""RANSAC as fixed-batch vmapped hypothesis evaluation.
+
+Reference: src/stella_vslam/solve/*_solver.cc run sequential sample->solve->
+score loops with early best tracking. The TPU-native form evaluates ALL
+hypotheses in parallel: sample B minimal sets at once (Gumbel top-k gives
+distinct indices per set), solve B models with batched linear algebra, score
+B x N residuals in one pass, argmin the reference's cost function
+(sum of inlier errors + outlier caps, e.g. homography_solver.cc:253-301).
+
+Data-dependent iteration counts disappear: B is chosen >= the reference's
+max_num_iter so the success probability is at least as high.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from stella_vslam_tpu.ops import linalg as linalg_small
+
+
+def _seed_from_key(key: jax.Array) -> jnp.ndarray:
+    """Accept a jax PRNG key (typed or raw uint32) or a plain int32 scalar."""
+    try:
+        data = jax.random.key_data(key)
+        return jnp.sum(data.astype(jnp.uint32))
+    except Exception:
+        return jnp.asarray(key, dtype=jnp.uint32).reshape(-1)[0]
+
+
+def hash_uniform(seed: jnp.ndarray, shape) -> jnp.ndarray:
+    """Counter-based uniform [0,1) noise via a xorshift-multiply hash.
+
+    jax.random's threefry is pathologically slow on the target TPU stack
+    (a single 3M-element uniform did not finish in 300 s); RANSAC sampling
+    only needs decorrelated draws, which a 3-round integer hash provides in
+    a handful of fused VPU ops. Deterministic in (seed, shape)."""
+    n = 1
+    for s in shape:
+        n *= s
+    x = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)[:, 0]
+    x = x + seed * jnp.uint32(2654435761)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return (x >> 8).astype(jnp.float32).reshape(shape) * (1.0 / (1 << 24))
+
+
+def sample_minimal_sets(
+    key: jax.Array, valid: jnp.ndarray, num_hypotheses: int, set_size: int
+) -> jnp.ndarray:
+    """[B, k] random indices drawn uniformly from valid positions.
+
+    Gumbel-argmax per (hypothesis, slot): one hashed-uniform tensor + one
+    argmax reduction. Unlike the reference's distinct sampling
+    (util::create_random_array), slots within a set may rarely collide
+    (~k^2/2/|valid|); a collided set yields a degenerate model that simply
+    scores zero inliers — far cheaper than per-row sorts (lax.top_k measured
+    40 ms for [256, 2048] on TPU)."""
+    n = valid.shape[0]
+    g = hash_uniform(_seed_from_key(key), (num_hypotheses, set_size, n))
+    masked = jnp.where(valid[None, None, :], g, -1.0)
+    return jnp.argmax(masked, axis=-1).astype(jnp.int32)
+
+
+def gather_sets(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """[N, D] data + [B, k] indices -> [B, k, D] via one-hot contraction
+    (per-element gathers serialize on TPU)."""
+    n = data.shape[0]
+    it = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    onehot = (idx[:, :, None] == it).astype(data.dtype)  # [B,k,N]
+    return jnp.einsum("bkn,nd->bkd", onehot, data)
+
+
+def smallest_eigvec_sym(A: jnp.ndarray) -> jnp.ndarray:
+    """Eigenvector of the smallest eigenvalue of a batched symmetric PSD
+    [.., D, D] matrix (the DLT null-space extractor). Delegates to the
+    matmul-only repeated-squaring power iteration in ops/linalg.py
+    (batched LAPACK-style primitives serialize on TPU)."""
+    return linalg_small.smallest_eigvec_spd(A)
+
+
+def select_best(cost: jnp.ndarray, num_inliers: jnp.ndarray, min_inliers: int):
+    """Reference best-model rule (e.g. homography_solver.cc:76): lowest cost
+    among hypotheses with more than min_inliers inliers.
+    Returns (best_idx, valid)."""
+    big = jnp.float32(3.0e38)
+    gated = jnp.where(num_inliers > min_inliers, cost, big)
+    best = jnp.argmin(gated)
+    return best, gated[best] < big
