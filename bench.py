@@ -1,0 +1,67 @@
+"""Headline benchmark: monocular tracking FPS on a synthetic EuRoC-scale
+sequence, run end-to-end (extraction + tracking + mapping) on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the north-star target of >60 FPS monocular tracking on one v5e chip
+(BASELINE.md); vs_baseline = fps / 60.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    sys.path.insert(0, "tests")
+    from synthetic_world import PlaneWorld, lateral_trajectory
+
+    from stella_vslam_tpu.config import Config
+    from stella_vslam_tpu.system import System
+
+    # EuRoC-like geometry: 752x480 @ 8-level pyramid
+    world = PlaneWorld(width=752, height=480, fx=458.0, fy=458.0, depth=4.0,
+                       tex_size=3072, meters_per_px=0.008)
+    n_frames = 120
+    poses = lateral_trajectory(n_frames, step=0.012, yaw_rate=0.0015)
+    cfg = Config.from_dict(
+        {
+            "Camera": world.camera_yaml(),
+            "Feature": {"num_levels": 8},
+            "Initializer": {"use_fixed_seed": True},
+        }
+    )
+    slam = System(cfg, inline_mapping=True)
+    slam.startup()
+
+    frame_times = []
+    imgs = [world.render(T) for T in poses]
+    for i, img in enumerate(imgs):
+        t0 = time.time()
+        slam.feed_monocular_frame(img, i * 0.05)
+        frame_times.append(time.time() - t0)
+    slam.shutdown()
+
+    # steady-state: drop compile-warmup frames (first 30) and keyframe frames'
+    # long tail via the median
+    steady = np.asarray(frame_times[30:])
+    med = float(np.median(steady))
+    fps = 1.0 / med if med > 0 else 0.0
+    tracked = sum(1 for (_, p, _, _) in slam.frame_poses if p is not None)
+    sys.stderr.write(
+        f"tracked {tracked}/{n_frames} frames, kfs={slam.map_db.num_keyframes()}, "
+        f"lms={slam.map_db.num_landmarks()}, median {med*1000:.1f} ms, "
+        f"mean {np.mean(steady)*1000:.1f} ms\n"
+    )
+    print(json.dumps({
+        "metric": "mono tracking throughput (synthetic 752x480, end-to-end)",
+        "value": round(fps, 2),
+        "unit": "FPS",
+        "vs_baseline": round(fps / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

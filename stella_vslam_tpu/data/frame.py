@@ -1,0 +1,140 @@
+"""Per-frame record: device tensors for the hot path + host mirrors for policy.
+
+Reference: src/stella_vslam/data/frame.h:36-206 + frame_observation.h:12-38.
+The frame_observation's per-keypoint vectors become fixed-slot SoA arrays that
+live on DEVICE (descriptors, undistorted keypoints, bearings, stereo depths)
+because every matcher/optimizer consumes them there; landmark associations and
+the pose are small and live on host (numpy), since the mapping policies mutate
+them object-at-a-time.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from stella_vslam_tpu.camera.base import Camera
+from stella_vslam_tpu.feature.orb_extractor import FrameFeatures
+from stella_vslam_tpu.feature.orb_params import OrbParams
+
+
+class Frame:
+    _next_id = 0
+
+    def __init__(
+        self,
+        timestamp: float,
+        camera: Camera,
+        orb_params: OrbParams,
+        feats: FrameFeatures,
+        undist_xy: jnp.ndarray,  # [N,2] device
+        bearings: jnp.ndarray,  # [N,3] device
+        x_right: Optional[jnp.ndarray] = None,  # [N] device (<0 none)
+        depths: Optional[jnp.ndarray] = None,  # [N] device (<0 none)
+    ):
+        self.id = Frame._next_id
+        Frame._next_id += 1
+        self.timestamp = timestamp
+        self.camera = camera
+        self.orb_params = orb_params
+        self.feats = feats
+        self.undist_xy = undist_xy
+        self.bearings = bearings
+        n = feats.num_slots
+        self.x_right = x_right if x_right is not None else jnp.full((n,), -1.0)
+        self.depths = depths if depths is not None else jnp.full((n,), -1.0)
+
+        # host-side state
+        self.num_slots = n
+        self.lm_ids = np.full(n, -1, dtype=np.int64)  # landmark id per keypoint
+        self.outlier_flags = np.zeros(n, dtype=bool)
+        self.pose_cw: Optional[np.ndarray] = None  # 4x4
+        self.ref_keyfrm_id: Optional[int] = None
+
+        # lazy host mirrors of device tensors
+        self._host_cache: dict = {}
+
+    # ---- host mirrors (fetched once, cached) ----
+    def _host(self, name, arr):
+        if name not in self._host_cache:
+            self._host_cache[name] = np.asarray(arr)
+        return self._host_cache[name]
+
+    @property
+    def h_xy(self):
+        return self._host("xy", self.feats.xy)
+
+    @property
+    def h_undist_xy(self):
+        return self._host("undist_xy", self.undist_xy)
+
+    @property
+    def h_bearings(self):
+        return self._host("bearings", self.bearings)
+
+    @property
+    def h_level(self):
+        return self._host("level", self.feats.level)
+
+    @property
+    def h_angle(self):
+        return self._host("angle", self.feats.angle)
+
+    @property
+    def h_valid(self):
+        return self._host("valid", self.feats.valid)
+
+    @property
+    def h_desc(self):
+        return self._host("desc", self.feats.desc)
+
+    @property
+    def h_x_right(self):
+        return self._host("x_right", self.x_right)
+
+    @property
+    def h_depths(self):
+        return self._host("depths", self.depths)
+
+    @property
+    def h_response(self):
+        return self._host("response", self.feats.response)
+
+    # ---- pose helpers (reference frame.h get_rot_cw etc.) ----
+    def set_pose_cw(self, pose_cw: np.ndarray):
+        self.pose_cw = np.asarray(pose_cw, dtype=np.float64)
+
+    @property
+    def rot_cw(self) -> np.ndarray:
+        return self.pose_cw[:3, :3]
+
+    @property
+    def trans_cw(self) -> np.ndarray:
+        return self.pose_cw[:3, 3]
+
+    @property
+    def pose_wc(self) -> np.ndarray:
+        T = np.eye(4)
+        T[:3, :3] = self.rot_cw.T
+        T[:3, 3] = -self.rot_cw.T @ self.trans_cw
+        return T
+
+    @property
+    def cam_center(self) -> np.ndarray:
+        return -self.rot_cw.T @ self.trans_cw
+
+    # ---- association bookkeeping ----
+    def add_landmark(self, lm_id: int, idx: int):
+        self.lm_ids[idx] = lm_id
+
+    def erase_landmark_with_index(self, idx: int):
+        self.lm_ids[idx] = -1
+
+    def num_tracked_landmarks(self, min_num_obs: int, map_db) -> int:
+        cnt = 0
+        for i in np.nonzero(self.lm_ids >= 0)[0]:
+            lm = map_db.landmarks.get(int(self.lm_ids[i]))
+            if lm is not None and not lm.will_be_erased and lm.num_observations() >= min_num_obs:
+                cnt += 1
+        return cnt

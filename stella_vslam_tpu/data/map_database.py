@@ -1,0 +1,228 @@
+"""Host-side map database + device-resident landmark-table mirror.
+
+Reference: src/stella_vslam/data/map_database.{h,cc} — id->keyframe/landmark
+maps behind a global mutex, local landmark cache, pose-proximity queries,
+JSON serialization, origin/spanning roots, fixed-keyframe threshold for
+temporal mapping.
+
+TPU-native addition: `DeviceLandmarkTable`, a padded SoA mirror of all live
+landmarks (positions, descriptors, normals, distance ranges, scale hints) that
+the tracking thread's jitted programs consume directly. The mapping thread
+refreshes it after map mutations; the tracking thread never uploads map data
+per frame (host->device transfers cost ~3-50 ms on the target stack).
+"""
+from __future__ import annotations
+
+import threading
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from stella_vslam_tpu.data.keyframe import Keyframe
+from stella_vslam_tpu.data.landmark import Landmark
+
+
+class DeviceLandmarkTable:
+    """Fixed-capacity device mirror of the landmark set (grows by doubling)."""
+
+    def __init__(self, capacity: int = 16384):
+        self.capacity = capacity
+        self.count = 0
+        self.ids = np.full(capacity, -1, dtype=np.int64)
+        self.version = 0
+        self.pos = None  # [C,3] f32 device
+        self.desc = None  # [C,8] u32 device
+        self.normal = None  # [C,3] f32
+        self.min_dist = None  # [C]
+        self.max_dist = None  # [C]
+        self.valid = None  # [C] bool
+        self.ref_level = None  # [C] i32 (octave of reference observation)
+
+    def refresh(self, landmarks: Dict[int, Landmark], map_db):
+        lms = [lm for lm in landmarks.values() if not lm.will_be_erased]
+        n = len(lms)
+        while n > self.capacity:
+            self.capacity *= 2
+        C = self.capacity
+        pos = np.zeros((C, 3), np.float32)
+        desc = np.zeros((C, 8), np.uint32)
+        normal = np.zeros((C, 3), np.float32)
+        dmin = np.zeros(C, np.float32)
+        dmax = np.zeros(C, np.float32)
+        valid = np.zeros(C, bool)
+        ids = np.full(C, -1, np.int64)
+        for i, lm in enumerate(lms):
+            pos[i] = lm.pos_w
+            desc[i] = lm.descriptor
+            normal[i] = lm.mean_normal
+            dmin[i] = lm.min_valid_dist
+            dmax[i] = lm.max_valid_dist
+            valid[i] = True
+            ids[i] = lm.id
+        self.count = n
+        self.ids = ids
+        self.pos = jax.device_put(pos)
+        self.desc = jax.device_put(desc)
+        self.normal = jax.device_put(normal)
+        self.min_dist = jax.device_put(dmin)
+        self.max_dist = jax.device_put(dmax)
+        self.valid = jax.device_put(valid)
+        self.version += 1
+
+
+class MapDatabase:
+    def __init__(self, min_num_shared_lms: int = 15, device_table_capacity: int = 16384):
+        self.lock = threading.RLock()
+        self.keyframes: Dict[int, Keyframe] = {}
+        self.landmarks: Dict[int, Landmark] = {}
+        self._next_keyfrm_id = 0
+        self._next_landmark_id = 0
+        self.min_num_shared_lms = min_num_shared_lms
+        self.origin_keyfrm_id: Optional[int] = None
+        # temporal mapping: keyframes with id <= fixed threshold are frozen
+        self.fixed_keyframe_id_threshold = -1
+        self.device_table = DeviceLandmarkTable(device_table_capacity)
+        self.local_landmark_ids: list = []
+
+    # ---- id allocation ----
+    def next_keyframe_id(self) -> int:
+        i = self._next_keyfrm_id
+        self._next_keyfrm_id += 1
+        return i
+
+    def next_landmark_id(self) -> int:
+        i = self._next_landmark_id
+        self._next_landmark_id += 1
+        return i
+
+    # ---- mutation ----
+    def add_keyframe(self, kf: Keyframe):
+        with self.lock:
+            self.keyframes[kf.id] = kf
+            if self.origin_keyfrm_id is None:
+                self.origin_keyfrm_id = kf.id
+
+    def add_landmark(self, lm: Landmark):
+        with self.lock:
+            self.landmarks[lm.id] = lm
+
+    def erase_landmark(self, lm_id: int):
+        with self.lock:
+            lm = self.landmarks.pop(lm_id, None)
+            if lm is None:
+                return
+            lm.will_be_erased = True
+            for kf_id, idx in lm.observations.items():
+                kf = self.keyframes.get(kf_id)
+                if kf is not None and kf.lm_ids[idx] == lm_id:
+                    kf.lm_ids[idx] = -1
+
+    def erase_keyframe(self, kf_id: int):
+        with self.lock:
+            kf = self.keyframes.get(kf_id)
+            if kf is None:
+                return
+            kf.will_be_erased = True
+            for idx, lm_id in enumerate(kf.lm_ids):
+                if lm_id < 0:
+                    continue
+                lm = self.landmarks.get(int(lm_id))
+                if lm is not None:
+                    lm.erase_observation(kf_id)
+            kf.graph_node.erase_all_connections(self)
+            kf.graph_node.recompute_spanning_parent_on_erase(self)
+            del self.keyframes[kf_id]
+
+    def replace_landmark(self, old: Landmark, new: Landmark):
+        """reference landmark::replace — move observations to `new`."""
+        with self.lock:
+            if old.id == new.id:
+                return
+            for kf_id, idx in list(old.observations.items()):
+                kf = self.keyframes.get(kf_id)
+                if kf is None:
+                    continue
+                if kf_id not in new.observations:
+                    new.add_observation(kf_id, idx)
+                    kf.lm_ids[idx] = new.id
+                else:
+                    kf.lm_ids[idx] = -1
+            new.num_observable += old.num_observable
+            new.num_observed += old.num_observed
+            old.observations = {}
+            old.will_be_erased = True
+            old.replaced_id = new.id
+            self.landmarks.pop(old.id, None)
+            new.compute_descriptor(self)
+            new.update_mean_normal_and_obs_scale_variance(self)
+
+    # ---- queries ----
+    def get_close_keyframes(self, pose_cw: np.ndarray, distance_thr: float, angle_thr: float):
+        """Pose-proximity query (reference map_database.cc:132)."""
+        out = []
+        R, t = pose_cw[:3, :3], pose_cw[:3, 3]
+        center = -R.T @ t
+        for kf in self.keyframes.values():
+            if kf.will_be_erased:
+                continue
+            if np.linalg.norm(kf.cam_center - center) > distance_thr:
+                continue
+            dR = R @ kf.rot_cw.T
+            ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+            if ang <= angle_thr:
+                out.append(kf)
+        return out
+
+    def get_close_keyframes_2d(self, pose_cw: np.ndarray, normal: np.ndarray,
+                               distance_thr: float, angle_thr: float):
+        """2D variant ignoring elevation (reference map_database.cc:164)."""
+        out = []
+        R, t = pose_cw[:3, :3], pose_cw[:3, 3]
+        center = -R.T @ t
+        for kf in self.keyframes.values():
+            if kf.will_be_erased:
+                continue
+            d = kf.cam_center - center
+            d = d - np.dot(d, normal) * normal
+            if np.linalg.norm(d) > distance_thr:
+                continue
+            dR = R @ kf.rot_cw.T
+            ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+            if ang <= angle_thr:
+                out.append(kf)
+        return out
+
+    def num_keyframes(self) -> int:
+        return len(self.keyframes)
+
+    def num_landmarks(self) -> int:
+        return len(self.landmarks)
+
+    def max_keyframe_id(self) -> int:
+        return max(self.keyframes) if self.keyframes else -1
+
+    # ---- device mirror ----
+    def refresh_device_table(self):
+        with self.lock:
+            self.device_table.refresh(self.landmarks, self)
+
+    # ---- reset / serialization ----
+    def clear(self):
+        with self.lock:
+            self.keyframes.clear()
+            self.landmarks.clear()
+            self.origin_keyfrm_id = None
+            self.local_landmark_ids = []
+
+    def to_json(self, cameras: dict, orb_params: dict) -> dict:
+        with self.lock:
+            return {
+                "cameras": cameras,
+                "orb_params": orb_params,
+                "keyframes": {str(k): kf.to_json() for k, kf in self.keyframes.items()},
+                "landmarks": {str(k): lm.to_json() for k, lm in self.landmarks.items()},
+                "frame_next_id": 0,
+                "keyframe_next_id": self._next_keyfrm_id,
+                "landmark_next_id": self._next_landmark_id,
+            }

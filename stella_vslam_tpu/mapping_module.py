@@ -1,0 +1,421 @@
+"""Mapping module: keyframe consumer building and refining the local map.
+
+Reference: src/stella_vslam/mapping_module.{h,cc} — a dedicated thread that
+dequeues keyframes (cc:121-137), stores them (BoW, covisibility, DB —
+cc:248-273), culls landmarks, triangulates new ones against the top-N
+covisibilities (cc:275-381), fuses duplicates (cc:417-537), runs local BA
+(skipping when >= 2 keyframes are queued, cc:199-208), and removes redundant
+keyframes.
+
+TPU-native split: geometric work (epipolar matching, triangulation checks,
+local BA) runs as device programs (module/mapping_kernels.py, ops/optim/ba.py);
+graph bookkeeping stays host-side. After every cycle the device landmark-table
+mirror is refreshed so the tracking thread always consumes a recent snapshot.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from stella_vslam_tpu.data.keyframe import Keyframe
+from stella_vslam_tpu.data.landmark import Landmark
+from stella_vslam_tpu.match import fuse as fuse_match
+from stella_vslam_tpu.module.local_map_cleaner import LocalMapCleaner
+from stella_vslam_tpu.module.mapping_kernels import MappingKernels
+from stella_vslam_tpu.ops.optim import ba as ba_mod
+from stella_vslam_tpu.module.tracking_kernels import make_cam_scalars
+
+
+class MappingModule:
+    def __init__(self, map_db, camera, orb_params, *,
+                 num_covisibilities_for_triangulation: int = 10,
+                 queue_threshold: int = 2,
+                 ba_K: int = 64, ba_L: int = 8192, ba_D: int = 12,
+                 enable_local_ba: bool = True):
+        self.map_db = map_db
+        self.camera = camera
+        self.orb_params = orb_params
+        self.kernels = MappingKernels(camera, orb_params)
+        self.cleaner = LocalMapCleaner()
+        self.num_covis_tri = num_covisibilities_for_triangulation
+        self.queue_threshold = queue_threshold
+        self.ba_K, self.ba_L, self.ba_D = ba_K, ba_L, ba_D
+        self.enable_local_ba = enable_local_ba
+
+        self._queue: "queue.Queue[Keyframe]" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._terminate = threading.Event()
+        self._pause_requested = threading.Event()
+        self._paused = threading.Event()
+        self._idle = threading.Event()
+        self._idle.set()
+        self.global_optimizer = None  # wired by system
+        self.tracker = None
+        self.num_processed = 0
+
+    # ------------------------------------------------------------------ API
+    def async_add_keyframe(self, kf: Keyframe):
+        self._queue.put(kf)
+
+    def keyframe_is_queued(self) -> bool:
+        return not self._queue.empty()
+
+    def is_idle(self) -> bool:
+        return self._idle.is_set() and self._queue.empty()
+
+    def is_skipping_localBA(self) -> bool:
+        return self._queue.qsize() >= self.queue_threshold
+
+    def is_paused(self) -> bool:
+        return self._paused.is_set()
+
+    def pause_is_requested(self) -> bool:
+        return self._pause_requested.is_set()
+
+    def request_pause(self):
+        self._pause_requested.set()
+
+    def resume(self):
+        self._pause_requested.clear()
+        self._paused.clear()
+
+    def start(self):
+        self._terminate.clear()
+        self._thread = threading.Thread(target=self.run, daemon=True)
+        self._thread.start()
+
+    def request_terminate(self):
+        self._terminate.set()
+
+    def join(self):
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    # ------------------------------------------------------------------ loop
+    def run(self):
+        while not self._terminate.is_set():
+            if self._pause_requested.is_set():
+                self._paused.set()
+                time.sleep(0.005)
+                continue
+            try:
+                kf = self._queue.get(timeout=0.005)
+            except queue.Empty:
+                continue
+            self._idle.clear()
+            try:
+                self.mapping_with_new_keyframe(kf)
+                if self.global_optimizer is not None:
+                    self.global_optimizer.queue_keyframe(kf)
+            finally:
+                self._idle.set()
+                self.num_processed += 1
+
+    # ------------------------------------------------------------------
+    def mapping_with_new_keyframe(self, cur: Keyframe):
+        map_db = self.map_db
+        # (store_new_keyframe already done by keyframe_inserter for bookkeeping)
+        self.cleaner.remove_invalid_landmarks(map_db, cur.id)
+        self.create_new_landmarks(cur)
+        self.fuse_landmark_duplication(cur)
+        cur.graph_node.update_connections(map_db)
+        if self.enable_local_ba and map_db.num_keyframes() > 2 and not self.is_skipping_localBA():
+            self.local_bundle_adjustment(cur)
+        self.cleaner.remove_redundant_keyframes(map_db, cur)
+        map_db.refresh_device_table()
+
+    # ------------------------------------------------------------------
+    def create_new_landmarks(self, cur: Keyframe):
+        map_db = self.map_db
+        covis = cur.graph_node.get_top_n_covisibilities(self.num_covis_tri)
+        if not covis:
+            return
+        median_depth = cur.compute_median_depth(map_db, use_abs=True)
+        cur_unassoc = jnp.asarray((cur.lm_ids < 0)) & cur.feats.valid
+        cur_is_stereo = cur.x_right > 0
+        for other_id in covis:
+            if self.keyframe_is_queued():
+                return  # abort on backpressure (mapping_module.cc:166-180)
+            other = map_db.keyframes.get(other_id)
+            if other is None or other.will_be_erased:
+                continue
+            baseline = np.linalg.norm(cur.cam_center - other.cam_center)
+            if self.camera.setup.name == "MONOCULAR":
+                if median_depth > 0 and baseline / median_depth < 0.01:
+                    continue
+            else:
+                if baseline < self.camera.true_baseline:
+                    continue
+            other_unassoc = jnp.asarray((other.lm_ids < 0)) & other.feats.valid
+            res = self.kernels.triangulate_pair(
+                cur.undist_xy, cur.feats.level, cur.feats.desc, cur.bearings,
+                cur.feats.angle, cur_unassoc, cur_is_stereo, cur.x_right,
+                other.undist_xy, other.feats.level, other.feats.desc,
+                other.bearings, other.feats.angle, other_unassoc,
+                other.x_right > 0, other.x_right,
+                jnp.asarray(cur.rot_cw, dtype=jnp.float32),
+                jnp.asarray(cur.trans_cw, dtype=jnp.float32),
+                jnp.asarray(other.rot_cw, dtype=jnp.float32),
+                jnp.asarray(other.trans_cw, dtype=jnp.float32),
+            )
+            ok = np.asarray(res.ok)
+            if not ok.any():
+                continue
+            pos = np.asarray(res.pos_w)
+            idx2 = np.asarray(res.idx2)
+            with map_db.lock:
+                for i in np.nonzero(ok)[0]:
+                    if cur.lm_ids[i] >= 0 or other.lm_ids[idx2[i]] >= 0:
+                        continue
+                    lm = Landmark(map_db.next_landmark_id(), pos[i], cur.id)
+                    lm.first_keyfrm_id = cur.id
+                    lm.add_observation(cur.id, int(i))
+                    lm.add_observation(other_id, int(idx2[i]))
+                    cur.add_landmark(lm.id, int(i))
+                    other.add_landmark(lm.id, int(idx2[i]))
+                    map_db.add_landmark(lm)
+                    lm.compute_descriptor(map_db)
+                    lm.update_mean_normal_and_obs_scale_variance(map_db)
+                    self.cleaner.add_fresh_landmark(lm.id)
+            cur_unassoc = jnp.asarray((cur.lm_ids < 0)) & cur.feats.valid
+
+    # ------------------------------------------------------------------
+    def fuse_landmark_duplication(self, cur: Keyframe):
+        """Fuse current keyframe's landmarks into first/second-order
+        covisibilities and vice versa (mapping_module.cc:417-537)."""
+        map_db = self.map_db
+        targets = cur.graph_node.get_top_n_covisibilities(10)
+        seconds = []
+        for t in targets:
+            kf = map_db.keyframes.get(t)
+            if kf:
+                seconds.extend(kf.graph_node.get_top_n_covisibilities(5))
+        fuse_targets = [t for t in dict.fromkeys(targets + seconds) if t != cur.id]
+
+        # direction 1: current landmarks -> each target keyframe
+        cur_lms = [
+            (int(lm_id), map_db.landmarks.get(int(lm_id)))
+            for lm_id in cur.lm_ids if lm_id >= 0
+        ]
+        cur_lms = [(i, lm) for i, lm in cur_lms if lm is not None and not lm.will_be_erased]
+        if cur_lms:
+            self._fuse_into(map_db, [map_db.keyframes[t] for t in fuse_targets
+                                     if t in map_db.keyframes], cur_lms)
+        # direction 2: target landmarks -> current keyframe
+        tgt_lm_ids = []
+        seen = set()
+        for t in fuse_targets:
+            kf = map_db.keyframes.get(t)
+            if kf is None:
+                continue
+            for lm_id in kf.lm_ids:
+                if lm_id >= 0 and lm_id not in seen:
+                    seen.add(int(lm_id))
+                    lm = map_db.landmarks.get(int(lm_id))
+                    if lm is not None and not lm.will_be_erased:
+                        tgt_lm_ids.append((int(lm_id), lm))
+        if tgt_lm_ids:
+            self._fuse_into(map_db, [cur], tgt_lm_ids)
+
+    def _fuse_into(self, map_db, keyframes, lm_list, margin: float = 3.0):
+        if not lm_list:
+            return
+        lm_pos = np.array([lm.pos_w for _, lm in lm_list], np.float32)
+        lm_desc = np.stack([lm.descriptor for _, lm in lm_list])
+        lm_dmin = np.array([lm.min_valid_dist for _, lm in lm_list], np.float32)
+        lm_dmax = np.array([lm.max_valid_dist for _, lm in lm_list], np.float32)
+        lm_norm = np.array([lm.mean_normal for _, lm in lm_list], np.float32)
+        lm_pos_d = jnp.asarray(lm_pos)
+        lm_desc_d = jnp.asarray(lm_desc)
+        for kf in keyframes:
+            if kf is None or kf.will_be_erased:
+                continue
+            uv, xr, pred, gate = self.kernels.reproject_landmarks_for_fuse(
+                jnp.asarray(kf.rot_cw, dtype=jnp.float32),
+                jnp.asarray(kf.trans_cw, dtype=jnp.float32),
+                lm_pos_d, jnp.asarray(lm_dmin), jnp.asarray(lm_dmax),
+                jnp.asarray(lm_norm), jnp.ones(len(lm_list), bool),
+            )
+            best_idx, accepted, _ = fuse_match.detect_duplication(
+                kf.undist_xy, kf.feats.level, kf.feats.desc, kf.feats.valid,
+                kf.x_right,
+                lm_desc_d, uv, xr, pred, gate,
+                scale_factors=self.kernels.scale_factors,
+                level_sigma_sq=self.kernels.level_sigma_sq,
+                num_levels=self.orb_params.num_levels, margin=margin,
+            )
+            acc = np.asarray(accepted)
+            if not acc.any():
+                continue
+            bidx = np.asarray(best_idx)
+            with map_db.lock:
+                for i in np.nonzero(acc)[0]:
+                    lm_id, lm = lm_list[i]
+                    if lm.will_be_erased:
+                        continue
+                    kp = int(bidx[i])
+                    existing_id = kf.lm_ids[kp]
+                    if existing_id >= 0 and existing_id != lm_id:
+                        other = map_db.landmarks.get(int(existing_id))
+                        if other is None or other.will_be_erased:
+                            kf.lm_ids[kp] = -1
+                        elif other.num_observations() >= lm.num_observations():
+                            map_db.replace_landmark(lm, other)
+                        else:
+                            map_db.replace_landmark(other, lm)
+                    elif existing_id < 0:
+                        lm.add_observation(kf.id, kp)
+                        kf.add_landmark(lm_id, kp)
+                        lm.compute_descriptor(map_db)
+                        lm.update_mean_normal_and_obs_scale_variance(map_db)
+
+    # ------------------------------------------------------------------
+    def local_bundle_adjustment(self, cur: Keyframe):
+        map_db = self.map_db
+        prob, lm_ids, kf_slots = self._assemble_local_ba(cur)
+        if prob is None:
+            return
+        cam = make_cam_scalars(self.camera)
+        res = ba_mod.bundle_adjust(prob, cam, model=self.camera.model.name.lower())
+        camR = np.asarray(res.cam_R)
+        camt = np.asarray(res.cam_t)
+        lm_new = np.asarray(res.lm_pos)
+        outlier = np.asarray(res.obs_is_outlier)
+        obs_cam = np.asarray(prob.obs_cam)
+        obs_valid = np.asarray(prob.obs_valid)
+        with map_db.lock:
+            for slot, kf_id in enumerate(kf_slots):
+                if kf_id < 0:
+                    continue
+                kf = map_db.keyframes.get(kf_id)
+                if kf is None or bool(np.asarray(prob.cam_fixed)[slot]):
+                    continue
+                T = np.eye(4)
+                T[:3, :3] = camR[slot]
+                T[:3, 3] = camt[slot]
+                kf.set_pose_cw(T)
+            slot_of = {kf_id: s for s, kf_id in enumerate(kf_slots) if kf_id >= 0}
+            for l, lm_id in enumerate(lm_ids):
+                if lm_id < 0:
+                    continue
+                lm = map_db.landmarks.get(lm_id)
+                if lm is None or lm.will_be_erased:
+                    continue
+                lm.pos_w = lm_new[l].astype(np.float64)
+                # erase outlier observations (cc:377-399)
+                for d in range(outlier.shape[1]):
+                    if not (obs_valid[l, d] and outlier[l, d]):
+                        continue
+                    kf_slot = int(obs_cam[l, d])
+                    kf_id = kf_slots[kf_slot] if kf_slot < len(kf_slots) else -1
+                    kf = map_db.keyframes.get(kf_id)
+                    if kf is None:
+                        continue
+                    idx = lm.observations.get(kf_id)
+                    if idx is not None:
+                        lm.erase_observation(kf_id)
+                        kf.erase_landmark_with_index(idx)
+                if lm.num_observations() < 2:
+                    map_db.erase_landmark(lm_id)
+                else:
+                    lm.update_mean_normal_and_obs_scale_variance(map_db)
+
+    def _assemble_local_ba(self, cur: Keyframe):
+        """Build the padded BAProblem (host numpy, one upload)."""
+        map_db = self.map_db
+        K, L, D = self.ba_K, self.ba_L, self.ba_D
+        local_ids = [cur.id] + cur.graph_node.get_covisibilities()
+        local_ids = [
+            i for i in local_ids
+            if i in map_db.keyframes and not map_db.keyframes[i].will_be_erased
+        ][: K - 8]  # leave room for fixed keyframes
+        local_set = set(local_ids)
+        # local landmarks
+        lm_ids = []
+        lm_seen = set()
+        for kf_id in local_ids:
+            kf = map_db.keyframes[kf_id]
+            for lm_id in kf.lm_ids:
+                if lm_id >= 0 and lm_id not in lm_seen:
+                    lm = map_db.landmarks.get(int(lm_id))
+                    if lm is not None and not lm.will_be_erased:
+                        lm_seen.add(int(lm_id))
+                        lm_ids.append(int(lm_id))
+        if len(lm_ids) < 8 or len(local_ids) < 2:
+            return None, None, None
+        lm_ids = lm_ids[:L]
+        # fixed keyframes: other observers
+        fixed_ids = []
+        for lm_id in lm_ids:
+            lm = map_db.landmarks[lm_id]
+            for kf_id in lm.observations:
+                if kf_id not in local_set and kf_id not in fixed_ids:
+                    fixed_ids.append(kf_id)
+        fixed_ids = fixed_ids[: K - len(local_ids)]
+        kf_slots = local_ids + fixed_ids
+        slot_of = {kf_id: s for s, kf_id in enumerate(kf_slots)}
+
+        cam_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        cam_t = np.zeros((K, 3), np.float32)
+        cam_fixed = np.ones(K, bool)
+        cam_valid = np.zeros(K, bool)
+        for s, kf_id in enumerate(kf_slots):
+            kf = map_db.keyframes[kf_id]
+            cam_R[s] = kf.rot_cw
+            cam_t[s] = kf.trans_cw
+            cam_valid[s] = True
+            is_fixed = (
+                kf_id in fixed_ids
+                or kf_id == map_db.origin_keyfrm_id
+                or kf_id <= map_db.fixed_keyframe_id_threshold
+            )
+            cam_fixed[s] = is_fixed
+        # gauge: if nothing fixed, fix the oldest local keyframe
+        if not cam_fixed[: len(kf_slots)].any():
+            cam_fixed[int(np.argmin(kf_slots))] = True
+
+        lm_pos = np.zeros((L, 3), np.float32)
+        lm_valid = np.zeros(L, bool)
+        obs_cam = np.zeros((L, D), np.int32)
+        obs_uv = np.zeros((L, D, 2), np.float32)
+        obs_xr = np.full((L, D), -1.0, np.float32)
+        obs_w = np.ones((L, D), np.float32)
+        obs_valid = np.zeros((L, D), bool)
+        inv_sigma = np.asarray(self.orb_params.inv_level_sigma_sq, np.float32)
+        for l, lm_id in enumerate(lm_ids):
+            lm = map_db.landmarks[lm_id]
+            lm_pos[l] = lm.pos_w
+            lm_valid[l] = True
+            d = 0
+            for kf_id, idx in lm.observations.items():
+                if d >= D:
+                    break
+                s = slot_of.get(kf_id)
+                if s is None:
+                    continue
+                kf = map_db.keyframes.get(kf_id)
+                if kf is None:
+                    continue
+                obs_cam[l, d] = s
+                obs_uv[l, d] = kf.h_undist_xy[idx]
+                obs_xr[l, d] = kf.h_x_right[idx]
+                obs_w[l, d] = inv_sigma[int(kf.h_level[idx])]
+                obs_valid[l, d] = True
+                d += 1
+
+        prob = ba_mod.BAProblem(
+            cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
+            cam_fixed=jnp.asarray(cam_fixed), cam_valid=jnp.asarray(cam_valid),
+            lm_pos=jnp.asarray(lm_pos), lm_valid=jnp.asarray(lm_valid),
+            obs_cam=jnp.asarray(obs_cam), obs_uv=jnp.asarray(obs_uv),
+            obs_x_right=jnp.asarray(obs_xr), obs_inv_sigma_sq=jnp.asarray(obs_w),
+            obs_valid=jnp.asarray(obs_valid),
+        )
+        lm_ids_padded = lm_ids + [-1] * (L - len(lm_ids))
+        kf_slots_padded = kf_slots + [-1] * (K - len(kf_slots))
+        return prob, lm_ids_padded, kf_slots_padded

@@ -1,0 +1,220 @@
+"""Monocular / stereo / RGBD map initializer.
+
+Reference: src/stella_vslam/module/initializer.{h,cc} + initialize/perspective
+.cc + initialize/bearing_vector.cc:
+
+* mono perspective: area-match vs the init frame (margin 100, lowe 0.9), run
+  H and F RANSAC (the reference uses two std::threads; here both are batched
+  device programs), pick H when rel_cost_H < 0.5 (perspective.cc:60-77),
+  evaluate all 8 (H) / 4 (F->E) motion hypotheses by triangulating the inlier
+  matches and counting geometrically valid points, normalize scale by median
+  depth, build the two-keyframe map and bundle-adjust it.
+* mono equirectangular/fisheye: E-based (bearing_vector.cc) — same hypothesis
+  machinery on bearings.
+* stereo/RGBD: instant map from depth (initializer.h:124-128) — handled by
+  the tracking module via create_map_for_stereo.
+
+Defaults follow initializer.cc:23-26 (min_num_valid_pts 50,
+min_num_triangulated_pts 50, parallax 1 deg, reprojection threshold 4 px).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stella_vslam_tpu.camera.base import CameraModel
+from stella_vslam_tpu.data.frame import Frame
+from stella_vslam_tpu.match import area as area_match
+from stella_vslam_tpu.ops import triangulation as tri
+from stella_vslam_tpu.ops.solve import essential as esolve
+from stella_vslam_tpu.ops.solve import fundamental as fsolve
+from stella_vslam_tpu.ops.solve import homography as hsolve
+
+
+@partial(jax.jit, static_argnames=("min_pts",))
+def _evaluate_hypotheses(
+    R_h, t_h, hyp_valid,  # [B,3,3], [B,3], [B] candidate cam2<-cam1 motions
+    b1, b2,  # [N,3] bearings in ref(1) / cur(2)
+    match_valid,  # [N]
+    parallax_cos_thr, reproj_cos_thr,
+    min_pts: int = 50,
+):
+    """Triangulate every match under every hypothesis; count valid points
+    (positive depth both views, angular reprojection error below threshold,
+    enough parallax). Returns per-hypothesis counts + the best hypothesis's
+    triangulation. (reference initialize/base.cc find_most_plausible_pose)"""
+    B = R_h.shape[0]
+
+    def eval_one(R21, t21):
+        pts1 = tri.triangulate_midpoint(b1, b2, R21, t21)  # in cam1 frame
+        d1 = pts1[:, 2]
+        pc2 = pts1 @ R21.T + t21
+        d2 = pc2[:, 2]
+        # angular reprojection errors
+        n1 = pts1 / jnp.maximum(jnp.linalg.norm(pts1, axis=-1, keepdims=True), 1e-12)
+        n2 = pc2 / jnp.maximum(jnp.linalg.norm(pc2, axis=-1, keepdims=True), 1e-12)
+        cos1 = jnp.sum(n1 * b1, axis=-1)
+        cos2 = jnp.sum(n2 * b2, axis=-1)
+        # parallax between rays
+        ray2_in_1 = (b2 @ R21)  # R21^T b2
+        cos_par = jnp.sum(b1 * ray2_in_1, axis=-1)
+        ok = (
+            match_valid
+            & (d1 > 0) & (d2 > 0)
+            & (cos1 > reproj_cos_thr) & (cos2 > reproj_cos_thr)
+            & (cos_par < parallax_cos_thr)
+        )
+        return jnp.sum(ok), pts1, ok
+
+    counts, ptss, oks = jax.vmap(eval_one)(R_h, t_h)
+    counts = jnp.where(hyp_valid, counts, -1)
+    best = jnp.argmax(counts)
+    best_count = counts[best]
+    # require a distinct winner (no other hypothesis within 70%)
+    near = jnp.sum(counts > 0.7 * best_count)
+    ok_overall = (best_count >= min_pts) & (near <= 1)
+    return best, best_count, ok_overall, ptss[best], oks[best], R_h[best], t_h[best]
+
+
+class Initializer:
+    NOT_READY = 0
+    INITIALIZING = 1
+    SUCCEEDED = 2
+
+    def __init__(self, camera, orb_params, *, num_ransac_iters: int = 256,
+                 min_num_valid_pts: int = 50, min_num_triangulated_pts: int = 50,
+                 parallax_deg_thr: float = 1.0, reproj_err_thr: float = 4.0,
+                 use_fixed_seed: bool = False):
+        self.camera = camera
+        self.orb_params = orb_params
+        self.num_ransac_iters = num_ransac_iters
+        self.min_num_valid_pts = min_num_valid_pts
+        self.min_num_triangulated_pts = min_num_triangulated_pts
+        self.parallax_cos_thr = float(np.cos(np.deg2rad(parallax_deg_thr)))
+        # angular tolerance equivalent of the pixel threshold
+        fx = max(float(camera.params.fx), 100.0)
+        self.reproj_cos_thr = float(np.cos(reproj_err_thr / fx))
+        self.state = Initializer.NOT_READY
+        self.init_frame: Optional[Frame] = None
+        self.prev_matched: Optional[np.ndarray] = None
+        self.init_matches: Optional[np.ndarray] = None
+        self._key = jax.random.PRNGKey(42 if use_fixed_seed else np.random.randint(1 << 30))
+        # init products
+        self.triangulated_pts: Optional[np.ndarray] = None
+        self.triangulated_ok: Optional[np.ndarray] = None
+        self.R_21 = None
+        self.t_21 = None
+
+    def reset(self):
+        self.state = Initializer.NOT_READY
+        self.init_frame = None
+
+    # ------------------------------------------------------------------
+    def set_initial_frame(self, frm: Frame):
+        self.init_frame = frm
+        self.prev_matched = frm.h_undist_xy.copy()
+        self.state = Initializer.INITIALIZING
+
+    # ------------------------------------------------------------------
+    def try_initialize_monocular(self, cur_frm: Frame) -> bool:
+        """Returns True when a two-view reconstruction succeeded; products in
+        (init_frame pose=I, cur pose (R_21,t_21), triangulated_pts)."""
+        if self.init_frame is None:
+            self.set_initial_frame(cur_frm)
+            return False
+
+        ref = self.init_frame
+        idx2, accepted, _ = area_match.match_in_consistent_area(
+            ref.feats.level, ref.feats.desc, ref.feats.angle, ref.feats.valid,
+            jnp.asarray(self.prev_matched),
+            cur_frm.undist_xy, cur_frm.feats.level, cur_frm.feats.desc,
+            cur_frm.feats.angle, cur_frm.feats.valid,
+            margin=100.0, lowe_ratio=0.9,
+        )
+        idx2_h = np.asarray(idx2)
+        acc_h = np.asarray(accepted)
+        num_matches = int(acc_h.sum())
+        if num_matches < self.min_num_valid_pts:
+            # restart from the current frame (initializer.cc:155-160)
+            self.set_initial_frame(cur_frm)
+            return False
+        # update search centers (area.cc tail)
+        self.prev_matched[acc_h] = np.asarray(cur_frm.h_undist_xy)[idx2_h[acc_h]]
+        self.init_matches = np.where(acc_h, idx2_h, -1)
+
+        # aligned per-ref-slot arrays for the solvers
+        cur_uv_aligned = jnp.asarray(
+            np.asarray(cur_frm.h_undist_xy)[np.clip(idx2_h, 0, None)]
+        )
+        cur_bear_aligned = jnp.asarray(
+            np.asarray(cur_frm.h_bearings)[np.clip(idx2_h, 0, None)]
+        )
+        mvalid = jnp.asarray(acc_h)
+        self._key, k1, k2 = jax.random.split(self._key, 3)
+
+        if self.camera.model == CameraModel.PERSPECTIVE:
+            hres = hsolve.find_via_ransac(
+                k1, ref.undist_xy, cur_uv_aligned, mvalid,
+                num_hypotheses=self.num_ransac_iters, recompute=False,
+            )
+            fres = fsolve.find_via_ransac(
+                k2, ref.undist_xy, cur_uv_aligned, mvalid,
+                num_hypotheses=self.num_ransac_iters, recompute=False,
+            )
+            cost_h = float(hres.cost)
+            cost_f = float(fres.cost)
+            use_h = (cost_h / max(cost_h + cost_f, 1e-9) < 0.5) and bool(hres.valid)
+            p = self.camera.params
+            K = np.array(
+                [[float(p.fx), 0, float(p.cx)], [0, float(p.fy), float(p.cy)], [0, 0, 1]],
+                dtype=np.float32,
+            )
+            if use_h:
+                Hn = jnp.asarray(np.linalg.inv(K)) @ hres.H_21 @ jnp.asarray(K)
+                R8, t8, n8, okh = hsolve.decompose(Hn)
+                R_h, t_h, hyp_valid = R8, t8, okh
+                inl = hres.is_inlier
+            elif bool(fres.valid):
+                E = jnp.asarray(K.T) @ fres.F_21 @ jnp.asarray(K)
+                R4, t4 = esolve.decompose(E)
+                R_h, t_h, hyp_valid = R4, t4, jnp.ones(4, bool)
+                inl = fres.is_inlier
+            else:
+                return False
+        else:
+            # bearing-vector (E-based) initializer for all other models
+            eres = esolve.find_via_ransac(
+                k1, ref.bearings, cur_bear_aligned, mvalid,
+                num_hypotheses=self.num_ransac_iters,
+            )
+            if not bool(eres.valid):
+                return False
+            R4, t4 = esolve.decompose(eres.E_21)
+            R_h, t_h, hyp_valid = R4, t4, jnp.ones(4, bool)
+            inl = eres.is_inlier
+
+        best, count, ok, pts1, pt_ok, R21, t21 = _evaluate_hypotheses(
+            R_h, t_h, hyp_valid, ref.bearings, cur_bear_aligned, inl & mvalid,
+            self.parallax_cos_thr, self.reproj_cos_thr,
+            min_pts=self.min_num_triangulated_pts,
+        )
+        if not bool(ok):
+            return False
+
+        pts1_h = np.asarray(pts1)
+        pt_ok_h = np.asarray(pt_ok)
+        # scale normalization by median depth (initializer.h:104-108)
+        med = float(np.median(pts1_h[pt_ok_h][:, 2]))
+        if med <= 0:
+            return False
+        scale = 1.0 / med
+        self.triangulated_pts = pts1_h * scale
+        self.triangulated_ok = pt_ok_h
+        self.R_21 = np.asarray(R21)
+        self.t_21 = np.asarray(t21) * scale
+        self.state = Initializer.SUCCEEDED
+        return True

@@ -1,0 +1,124 @@
+"""Keyframe insertion policy + creation.
+
+Reference: src/stella_vslam/module/keyframe_inserter.{h,cc} — interval bounds,
+landmark-coverage ratio vs the reference keyframe, mapping-queue backpressure
+veto (cc:51-128, decision expr cc:123-127); creation seeds depth landmarks for
+stereo/RGBD (cc:160-212) and enqueues to the mapper (cc:218-231).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from stella_vslam_tpu.camera.base import Setup
+from stella_vslam_tpu.data.frame import Frame
+from stella_vslam_tpu.data.keyframe import Keyframe
+from stella_vslam_tpu.data.landmark import Landmark
+
+
+class KeyframeInserter:
+    def __init__(self, camera, *, max_interval: float = 1.0, min_interval: float = 0.1,
+                 max_distance: float = -1.0, lms_ratio_thr_almost_all_lms_are_tracked: float = 0.95,
+                 lms_ratio_thr_view_changed: float = 0.9, enough_lms_thr: int = 100):
+        self.camera = camera
+        self.max_interval = max_interval
+        self.min_interval = min_interval
+        self.max_distance = max_distance
+        self.ratio_almost_all = lms_ratio_thr_almost_all_lms_are_tracked
+        self.ratio_view_changed = lms_ratio_thr_view_changed
+        self.enough_lms_thr = enough_lms_thr
+        self.mapper = None  # set by system
+
+    def new_keyframe_is_needed(self, map_db, cur_frm: Frame, num_tracked: int,
+                               last_inserted_time: float, ref_keyfrm) -> bool:
+        if self.mapper is None:
+            return False
+        # backpressure veto (keyframe_inserter.cc:69)
+        if self.mapper.is_paused() or self.mapper.pause_is_requested():
+            return False
+        num_keyfrms = map_db.num_keyframes()
+        # reference ratio: tracked vs the reference keyframe's tracked count
+        min_obs_thr = 3 if num_keyfrms > 2 else 2
+        num_reliable_in_ref = (
+            ref_keyfrm.num_tracked_landmarks(map_db, min_obs_thr) if ref_keyfrm else 0
+        )
+        max_interval_elapsed = (
+            cur_frm.timestamp - last_inserted_time >= self.max_interval
+        )
+        min_interval_elapsed = (
+            cur_frm.timestamp - last_inserted_time >= self.min_interval
+        )
+        view_changed = num_tracked < num_reliable_in_ref * self.ratio_view_changed
+        not_enough_lms = num_tracked < self.enough_lms_thr
+        tracking_is_unstable = num_tracked < max(15, num_reliable_in_ref * 0.25)
+
+        cond1 = (
+            max_interval_elapsed
+            or (min_interval_elapsed and self.mapper.is_idle())
+            or view_changed
+        )
+        cond2 = num_tracked >= 15 and (
+            view_changed or not_enough_lms or max_interval_elapsed
+        )
+        del tracking_is_unstable
+        return cond1 and cond2
+
+    # ------------------------------------------------------------------
+    def insert_new_keyframe(self, map_db, cur_frm: Frame) -> Keyframe:
+        kf = Keyframe(cur_frm, map_db)
+        # register existing associations
+        for idx, lm_id in enumerate(kf.lm_ids):
+            if lm_id < 0:
+                continue
+            lm = map_db.landmarks.get(int(lm_id))
+            if lm is None or lm.will_be_erased:
+                kf.lm_ids[idx] = -1
+                continue
+            lm.add_observation(kf.id, idx)
+        map_db.add_keyframe(kf)
+        for idx, lm_id in enumerate(kf.lm_ids):
+            if lm_id < 0:
+                continue
+            lm = map_db.landmarks.get(int(lm_id))
+            if lm is not None:
+                lm.compute_descriptor(map_db)
+                lm.update_mean_normal_and_obs_scale_variance(map_db)
+
+        # stereo/RGBD: seed landmarks from depth, nearest >= 100
+        # (keyframe_inserter.cc:160-212)
+        if self.camera.setup != Setup.MONOCULAR:
+            self._seed_depth_landmarks(map_db, kf)
+
+        kf.graph_node.update_connections(map_db)
+        if self.mapper is not None:
+            self.mapper.async_add_keyframe(kf)
+        return kf
+
+    def _seed_depth_landmarks(self, map_db, kf: Keyframe):
+        depths = kf.h_depths
+        valid = kf.h_valid
+        order = np.argsort(np.where(depths > 0, depths, np.inf))
+        depth_thr = float(self.camera.params.depth_thr)
+        created = 0
+        R_wc = kf.rot_cw.T
+        t_wc = -R_wc @ kf.trans_cw
+        p = self.camera.params
+        fx, fy, cx, cy = map(float, (p.fx, p.fy, p.cx, p.cy))
+        und = kf.h_undist_xy
+        for idx in order:
+            z = depths[idx]
+            if not valid[idx] or z <= 0:
+                break
+            if kf.lm_ids[idx] >= 0:
+                continue
+            if z > depth_thr and created >= 100:
+                break
+            x = (und[idx, 0] - cx) * z / fx
+            y = (und[idx, 1] - cy) * z / fy
+            pos_w = R_wc @ np.array([x, y, z]) + t_wc
+            lm = Landmark(map_db.next_landmark_id(), pos_w, kf.id)
+            lm.add_observation(kf.id, int(idx))
+            kf.add_landmark(lm.id, int(idx))
+            map_db.add_landmark(lm)
+            lm.compute_descriptor(map_db)
+            lm.update_mean_normal_and_obs_scale_variance(map_db)
+            created += 1

@@ -1,0 +1,193 @@
+"""Public system API: construction, frame feeding, lifecycle, IO.
+
+Reference: src/stella_vslam/system.{h,cc} — builds all components from config
+(cc:38-136), per-frame preprocessing (grayscale, ORB extraction, undistortion,
+bearings, stereo/depth matching — cc:368-530), thread startup/shutdown
+(cc:199-234), map and trajectory IO entry points (cc:236-298),
+pause/resume/reset, enable/disable mapping.
+"""
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stella_vslam_tpu.camera.base import Camera, Setup, camera_from_yaml
+from stella_vslam_tpu.config import Config
+from stella_vslam_tpu.data.frame import Frame
+from stella_vslam_tpu.data.map_database import MapDatabase
+from stella_vslam_tpu.feature.orb_extractor import OrbExtractor
+from stella_vslam_tpu.feature.orb_params import OrbParams
+from stella_vslam_tpu.mapping_module import MappingModule
+from stella_vslam_tpu.tracking_module import TrackingModule
+
+
+class System:
+    def __init__(self, cfg: Config, vocab_path: Optional[str] = None,
+                 inline_mapping: bool = False):
+        """inline_mapping=True runs the mapping module synchronously on the
+        caller thread after each frame — deterministic, used by tests and
+        single-threaded benchmarks."""
+        self.cfg = cfg
+        self.inline_mapping = inline_mapping
+        self.camera: Camera = camera_from_yaml(cfg.section("Camera"))
+        self.orb_params = OrbParams.from_yaml(cfg.section("Feature"))
+        pre = cfg.section("Preprocessing")
+        min_size = int(pre.get("min_size", 800))
+        mask_rects = pre.get("mask_rectangles", None)
+
+        self.map_db = MapDatabase()
+        self.extractor = OrbExtractor(
+            self.orb_params, self.camera.width, self.camera.height,
+            min_area=min_size, mask_rects=mask_rects,
+        )
+        self.tracker = TrackingModule(
+            self.map_db, self.camera, self.orb_params,
+            use_fixed_seed=cfg.get("Initializer", "use_fixed_seed", False),
+        )
+        self.mapper = MappingModule(self.map_db, self.camera, self.orb_params)
+        self.tracker.mapper = self.mapper
+        self.tracker.keyfrm_inserter.mapper = self.mapper
+        self.mapper.tracker = self.tracker
+
+        # per-camera jitted preprocessing: undistort + bearings
+        cam = self.camera
+
+        @jax.jit
+        def _preprocess(xy):
+            und = cam.undistort(xy)
+            return und, cam.bearings(und)
+
+        self._preprocess = _preprocess
+
+        # stats
+        self.frame_poses = []  # (timestamp, pose_cw 4x4 or None, ref_keyfrm_id)
+        self.track_times = []
+        self._running = False
+
+    # ------------------------------------------------------------------
+    def startup(self, need_initialize: bool = True):
+        if not need_initialize:
+            self.tracker.state = "Lost"
+        if not self.inline_mapping:
+            self.mapper.start()
+        self._running = True
+
+    def shutdown(self):
+        if not self.inline_mapping:
+            self.mapper.request_terminate()
+            self.mapper.join()
+        self._running = False
+
+    def _drain_mapper_inline(self):
+        import queue as _q
+
+        while True:
+            try:
+                kf = self.mapper._queue.get_nowait()
+            except _q.Empty:
+                break
+            self.mapper.mapping_with_new_keyframe(kf)
+            if self.mapper.global_optimizer is not None:
+                self.mapper.global_optimizer.queue_keyframe(kf)
+
+    # ------------------------------------------------------------------
+    def create_monocular_frame(self, img, timestamp: float, mask=None) -> Frame:
+        img = self._to_gray(img)
+        feats = self.extractor.extract(jnp.asarray(img), mask)
+        und, bear = self._preprocess(feats.xy)
+        return Frame(timestamp, self.camera, self.orb_params, feats, und, bear)
+
+    def feed_monocular_frame(self, img, timestamp: float, mask=None):
+        t0 = time.time()
+        frm = self.create_monocular_frame(img, timestamp, mask)
+        pose = self.tracker.feed_frame(frm)
+        if self.inline_mapping:
+            self._drain_mapper_inline()
+        self.track_times.append(time.time() - t0)
+        self.frame_poses.append(
+            (timestamp, None if pose is None else pose.copy(), frm.ref_keyfrm_id,
+             frm.id)
+        )
+        return pose
+
+    def feed_RGBD_frame(self, img, depth, timestamp: float, mask=None):
+        t0 = time.time()
+        img = self._to_gray(img)
+        feats = self.extractor.extract(jnp.asarray(img), mask)
+        und, bear = self._preprocess(feats.xy)
+        # sample depthmap at keypoints (host)
+        xy = np.asarray(feats.xy)
+        d = np.asarray(depth)
+        xs = np.clip(xy[:, 0].astype(int), 0, d.shape[1] - 1)
+        ys = np.clip(xy[:, 1].astype(int), 0, d.shape[0] - 1)
+        depths = d[ys, xs].astype(np.float32)
+        depths = np.where(depths > 0, depths, -1.0)
+        p = self.camera.params
+        und_h = np.asarray(und)
+        x_right = np.where(
+            depths > 0,
+            und_h[:, 0] - float(p.focal_x_baseline) / np.maximum(depths, 1e-6),
+            -1.0,
+        ).astype(np.float32)
+        frm = Frame(
+            timestamp, self.camera, self.orb_params, feats, und, bear,
+            x_right=jnp.asarray(x_right), depths=jnp.asarray(depths),
+        )
+        pose = self.tracker.feed_frame(frm)
+        if self.inline_mapping:
+            self._drain_mapper_inline()
+        self.track_times.append(time.time() - t0)
+        self.frame_poses.append(
+            (timestamp, None if pose is None else pose.copy(), frm.ref_keyfrm_id, frm.id)
+        )
+        return pose
+
+    @staticmethod
+    def _to_gray(img):
+        img = np.asarray(img)
+        if img.ndim == 3:
+            import cv2
+
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        return img.astype(np.float32)
+
+    # ------------------------------------------------------------------
+    # control (reference system.h:97-183)
+    def enable_mapping_module(self):
+        self.tracker.mapping_is_enabled = True
+
+    def disable_mapping_module(self):
+        self.tracker.mapping_is_enabled = False
+
+    def request_reset(self):
+        self.tracker.reset()
+
+    def pause_other_threads(self):
+        self.mapper.request_pause()
+        while not self.mapper.is_paused() and self.mapper._thread and self.mapper._thread.is_alive():
+            time.sleep(0.002)
+
+    def resume_other_threads(self):
+        self.mapper.resume()
+
+    # ------------------------------------------------------------------
+    # trajectory export (reference io/trajectory_io.cc)
+    def save_frame_trajectory(self, path: str, fmt: str = "TUM"):
+        from stella_vslam_tpu.io.trajectory_io import save_frame_trajectory
+
+        save_frame_trajectory(path, self.frame_poses, fmt)
+
+    def save_keyframe_trajectory(self, path: str, fmt: str = "TUM"):
+        from stella_vslam_tpu.io.trajectory_io import save_keyframe_trajectory
+
+        save_keyframe_trajectory(path, self.map_db, fmt)
+
+    def save_track_times(self, path: str):
+        with open(path, "w") as f:
+            for t in self.track_times:
+                f.write(f"{t:.9f}\n")
