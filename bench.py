@@ -33,7 +33,8 @@ def main():
             "Initializer": {"use_fixed_seed": True},
         }
     )
-    slam = System(cfg, inline_mapping=True)
+    import os
+    slam = System(cfg, inline_mapping=os.environ.get("BENCH_INLINE", "0") == "1")
     slam.startup()
 
     frame_times = []

@@ -38,12 +38,41 @@ class DeviceLandmarkTable:
         self.max_dist = None  # [C]
         self.valid = None  # [C] bool
         self.ref_level = None  # [C] i32 (octave of reference observation)
+        # per-row observability counters accumulated by the tracking thread
+        # and folded into Landmark objects at refresh (vectorized, replaces
+        # the reference's per-frame per-landmark counter updates)
+        self._pend_observable = np.zeros(capacity, np.int32)
+        self._pend_observed: Dict[int, int] = {}
+
+    def bump_observable(self, mask: np.ndarray):
+        n = min(len(mask), len(self._pend_observable))
+        self._pend_observable[:n] += mask[:n]
+
+    def bump_observed(self, lm_ids: np.ndarray):
+        for lm_id in lm_ids[lm_ids >= 0]:
+            k = int(lm_id)
+            self._pend_observed[k] = self._pend_observed.get(k, 0) + 1
+
+    def _fold_counters(self, landmarks: Dict[int, Landmark]):
+        rows = np.nonzero(self._pend_observable[: self.count])[0]
+        for r in rows:
+            lm = landmarks.get(int(self.ids[r]))
+            if lm is not None:
+                lm.num_observable += int(self._pend_observable[r])
+        self._pend_observable[:] = 0
+        for lm_id, cnt in self._pend_observed.items():
+            lm = landmarks.get(lm_id)
+            if lm is not None:
+                lm.num_observed += cnt
+        self._pend_observed = {}
 
     def refresh(self, landmarks: Dict[int, Landmark], map_db):
+        self._fold_counters(landmarks)
         lms = [lm for lm in landmarks.values() if not lm.will_be_erased]
         n = len(lms)
         while n > self.capacity:
             self.capacity *= 2
+            self._pend_observable = np.zeros(self.capacity, np.int32)
         C = self.capacity
         pos = np.zeros((C, 3), np.float32)
         desc = np.zeros((C, 8), np.uint32)

@@ -248,13 +248,14 @@ class OrbExtractor:
     # ------------------------------------------------------------------
     def extract(self, image: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> FrameFeatures:
         """image: [H,W] grayscale (u8 or f32, 0..255). mask: [H,W], 0 = excluded."""
-        img = jnp.asarray(image, dtype=jnp.float32)
+        img = jnp.asarray(image)
         if mask is not None:
             return self._extract(img, jnp.asarray(mask) != 0)
         return self._extract_nomask(img)
 
     # ------------------------------------------------------------------
     def _extract_impl(self, img0: jnp.ndarray, mask0: jnp.ndarray) -> FrameFeatures:
+        img0 = img0.astype(jnp.float32)  # u8 uploads cast on device
         outs = []
         patches = []
         img = img0

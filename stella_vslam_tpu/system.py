@@ -65,7 +65,6 @@ class System:
         self._preprocess = _preprocess
 
         # stats
-        self.frame_poses = []  # (timestamp, pose_cw 4x4 or None, ref_keyfrm_id)
         self.track_times = []
         self._running = False
 
@@ -78,6 +77,9 @@ class System:
         self._running = True
 
     def shutdown(self):
+        self.tracker.finalize_pending()
+        if self.inline_mapping:
+            self._drain_mapper_inline()
         if not self.inline_mapping:
             self.mapper.request_terminate()
             self.mapper.join()
@@ -109,10 +111,6 @@ class System:
         if self.inline_mapping:
             self._drain_mapper_inline()
         self.track_times.append(time.time() - t0)
-        self.frame_poses.append(
-            (timestamp, None if pose is None else pose.copy(), frm.ref_keyfrm_id,
-             frm.id)
-        )
         return pose
 
     def feed_RGBD_frame(self, img, depth, timestamp: float, mask=None):
@@ -142,9 +140,6 @@ class System:
         if self.inline_mapping:
             self._drain_mapper_inline()
         self.track_times.append(time.time() - t0)
-        self.frame_poses.append(
-            (timestamp, None if pose is None else pose.copy(), frm.ref_keyfrm_id, frm.id)
-        )
         return pose
 
     @staticmethod
@@ -154,7 +149,10 @@ class System:
             import cv2
 
             img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
-        return img.astype(np.float32)
+        # upload u8 (4x less relay traffic); the extractor casts on device
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        return img
 
     # ------------------------------------------------------------------
     # control (reference system.h:97-183)
@@ -177,6 +175,14 @@ class System:
 
     # ------------------------------------------------------------------
     # trajectory export (reference io/trajectory_io.cc)
+    @property
+    def frame_poses(self):
+        """Finalized per-frame results: (timestamp, pose_cw|None, ref_kf, id)."""
+        return [
+            (ts, pose, ref, fid)
+            for (fid, ts, pose, ref) in self.tracker.finalized
+        ]
+
     def save_frame_trajectory(self, path: str, fmt: str = "TUM"):
         from stella_vslam_tpu.io.trajectory_io import save_frame_trajectory
 

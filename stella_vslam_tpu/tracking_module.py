@@ -1,4 +1,4 @@
-"""Tracking module: per-frame pose estimation state machine.
+"""Tracking module: per-frame pose estimation state machine (pipelined).
 
 Reference: src/stella_vslam/tracking_module.{h,cc} — {Initializing, Tracking,
 Lost} states (cc:153-167), monocular initialization, 3-tier tracking cascade
@@ -7,15 +7,16 @@ tracking, keyframe-need decision, motion-model update (cc:401-413), auto
 relocalization-on-lost and auto-reset when loss occurs within 5 s of
 initialization (cc:26-28, 162-166).
 
-TPU-native data flow per frame: the device programs in
-module/tracking_kernels.py consume the frame's slot tensors and the
-device-resident landmark table; the host reads back the pose, per-slot
-association indices and the table observability mask, and updates the map
-bookkeeping.
+TPU-native pipelining: the whole cascade is ONE device program
+(module/tracking_kernels.track_frame). feed_frame() FINALIZES the previous
+frame's result (its readbacks have been in flight while the caller prepared
+this frame's image) and then DISPATCHES the current frame without any
+synchronization — so device compute of frame t overlaps host work and the
+upload of frame t+1. Association state chains on-device between frames
+(assoc_pos/assoc_valid), eliminating per-frame host map uploads.
 """
 from __future__ import annotations
 
-import time
 from typing import Optional
 
 import jax.numpy as jnp
@@ -35,6 +36,18 @@ STATE_TRACKING = "Tracking"
 STATE_LOST = "Lost"
 
 
+class _Pending:
+    __slots__ = ("frm", "out", "last_frm", "ref_kf", "last_pose_cw", "used_motion")
+
+    def __init__(self, frm, out, last_frm, ref_kf, last_pose_cw, used_motion):
+        self.frm = frm
+        self.out = out
+        self.last_frm = last_frm
+        self.ref_kf = ref_kf
+        self.last_pose_cw = last_pose_cw
+        self.used_motion = used_motion
+
+
 class TrackingModule:
     def __init__(self, map_db, camera, orb_params, *,
                  enable_auto_relocalization: bool = True,
@@ -44,10 +57,11 @@ class TrackingModule:
         self.map_db = map_db
         self.camera = camera
         self.orb_params = orb_params
-        self.kernels = TrackingKernels(camera, orb_params)
+        self.kernels = TrackingKernels(camera, orb_params,
+                                       num_matches_thr=num_matches_thr)
         self.initializer = Initializer(camera, orb_params, use_fixed_seed=use_fixed_seed)
         self.keyfrm_inserter = KeyframeInserter(camera)
-        self.relocalizer = None  # wired by system once BoW exists
+        self.relocalizer = None  # wired by system
         self.mapper = None
         self.num_matches_thr = num_matches_thr
         self.min_num_tracked_lms = min_num_tracked_lms
@@ -55,50 +69,244 @@ class TrackingModule:
         self.state = STATE_INITIALIZING
         self.last_frm: Optional[Frame] = None
         self.ref_keyfrm_id: Optional[int] = None
-        self.twist: Optional[np.ndarray] = None  # velocity (4x4)
+        self.twist: Optional[np.ndarray] = None
         self.last_keyfrm_time = 0.0
         self.init_time = 0.0
         self.last_reloc_frm_id = -10
         self.num_tracked_lms = 0
         self.mapping_is_enabled = True
 
+        self._pending: Optional[_Pending] = None
+        # device-chained association state of the last tracked frame
+        self._last_assoc_pos = None  # [N,3] device
+        self._last_assoc_valid = None  # [N] device
+        # reference-keyframe device association arrays
+        self._kf_assoc_pos = None
+        self._kf_assoc_valid = None
+        self._kf_for_assoc = None
+        # finalized per-frame results: (frame_id, ts, pose_cw|None, ref_kf_id)
+        self.finalized = []
+
     # ------------------------------------------------------------------
     def feed_frame(self, frm: Frame) -> Optional[np.ndarray]:
+        """Dispatch tracking for `frm`; returns the pose of the PREVIOUSLY
+        finalized frame when pipelining (None during init/loss). Finalized
+        per-frame poses accumulate in self.finalized."""
+        self.finalize_pending()
+
         if self.state == STATE_INITIALIZING:
-            if not self._initialize(frm):
-                self.last_frm = frm
-                return None
-            self.state = STATE_TRACKING
-            self.init_time = frm.timestamp
+            ok = self._initialize(frm)
+            if ok:
+                self.state = STATE_TRACKING
+                self.init_time = frm.timestamp
+                self._set_chain_from_frame(frm)
             self.last_frm = frm
-            return frm.pose_cw
-        ok = self._track(frm)
-        if not ok:
-            if self.state == STATE_TRACKING:
-                if frm.timestamp - self.init_time < 5.0 and self.mapping_is_enabled:
-                    # lost right after initialization -> reset (cc:162-166)
-                    self.reset()
-                    return None
-                self.state = STATE_LOST
-            # try relocalization
-            if self.relocalizer is not None:
-                if self._relocalize(frm):
-                    self.state = STATE_TRACKING
-                    self.last_reloc_frm_id = frm.id
-                    ok = True
-        else:
-            self.state = STATE_TRACKING
+            self.finalized.append(
+                (frm.id, frm.timestamp,
+                 frm.pose_cw.copy() if ok else None, frm.ref_keyfrm_id)
+            )
+            return frm.pose_cw if ok else None
+
+        if self.state == STATE_LOST:
+            ok = self._relocalize(frm)
+            self.last_frm = frm
+            self.finalized.append(
+                (frm.id, frm.timestamp,
+                 frm.pose_cw.copy() if ok else None, frm.ref_keyfrm_id)
+            )
+            if ok:
+                self.state = STATE_TRACKING
+                self.last_reloc_frm_id = frm.id
+                self._set_chain_from_frame(frm)
+                self.twist = None
+            return frm.pose_cw if ok else None
+
+        # STATE_TRACKING: dispatch without synchronization
+        self._dispatch(frm)
+        return self.last_frm.pose_cw if self.last_frm is not None else None
+
+    # ------------------------------------------------------------------
+    def _dispatch(self, frm: Frame):
+        last = self.last_frm
+        k = self.kernels
+        use_motion = self.twist is not None and self._last_assoc_pos is not None
+        pred = (self.twist @ last.pose_cw) if use_motion else last.pose_cw
+        ref_kf = self.map_db.keyframes.get(self.ref_keyfrm_id)
+        if ref_kf is None:
+            # no reference keyframe: cannot track
+            self.state = STATE_LOST
+            return
+        if self._kf_for_assoc is not ref_kf:
+            self._refresh_kf_assoc(ref_kf)
+        tbl = self.map_db.device_table
+        if tbl.pos is None:
+            self.map_db.refresh_device_table()
+            tbl = self.map_db.device_table
+        margin = (
+            k.margin_local_unstable
+            if frm.id < self.last_reloc_frm_id + 2
+            else k.margin_local
+        )
+        n = frm.num_slots
+        la_pos = (
+            self._last_assoc_pos if self._last_assoc_pos is not None
+            else jnp.zeros((n, 3))
+        )
+        la_valid = (
+            self._last_assoc_valid if self._last_assoc_valid is not None
+            else jnp.zeros(n, bool)
+        )
+        out = k.track_frame(
+            frm.undist_xy, frm.feats.level, frm.feats.desc, frm.feats.valid,
+            frm.feats.angle, frm.x_right,
+            last.feats.desc, last.feats.level, last.feats.angle,
+            la_pos, la_valid,
+            ref_kf.feats.desc, ref_kf.feats.angle,
+            self._kf_assoc_pos, self._kf_assoc_valid,
+            tbl.pos, tbl.desc, tbl.normal, tbl.min_dist, tbl.max_dist, tbl.valid,
+            jnp.asarray(pred[:3, :3], dtype=jnp.float32),
+            jnp.asarray(pred[:3, 3], dtype=jnp.float32),
+            jnp.asarray(last.pose_cw[:3, :3], dtype=jnp.float32),
+            jnp.asarray(last.pose_cw[:3, 3], dtype=jnp.float32),
+            jnp.float32(margin),
+            use_motion=use_motion,
+        )
+        # start async copies of the small outputs (overlap with next frame)
+        for arr in (out.R_cw, out.t_cw, out.src_idx, out.counts, out.inlier,
+                    out.observable):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+        self._pending = _Pending(frm, out, last, ref_kf, last.pose_cw, use_motion)
+        # chain device state immediately (used by the NEXT dispatch)
+        self._last_assoc_pos = out.assoc_pos
+        self._last_assoc_valid = out.assoc_valid
         self.last_frm = frm
-        return frm.pose_cw if ok else None
+
+    # ------------------------------------------------------------------
+    def finalize_pending(self):
+        p = self._pending
+        if p is None:
+            return
+        self._pending = None
+        frm, out = p.frm, p.out
+        counts = np.asarray(out.counts)
+        num_final = int(counts[3])
+        used_fallback = bool(counts[1])
+        stage1_fail = used_fallback and p.used_motion
+
+        min_needed = self.min_num_tracked_lms // (
+            2 if frm.id < self.last_reloc_frm_id + 2 else 1
+        )
+        tracked_ok = num_final >= min_needed
+        if used_fallback:
+            # the fallback stage itself must have met the match threshold
+            tracked_ok = tracked_ok and num_final >= self.num_matches_thr
+
+        if not tracked_ok:
+            self._on_lost(frm)
+            return
+
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(out.R_cw)
+        T[:3, 3] = np.asarray(out.t_cw)
+        frm.set_pose_cw(T)
+
+        # association bookkeeping
+        src = np.asarray(out.src_idx)
+        tbl = self.map_db.device_table
+        frm.lm_ids[:] = -1
+        s_last, s_kf, s_tbl = src[0], src[1], src[2]
+        sel = s_last >= 0
+        if sel.any() and p.last_frm is not None:
+            frm.lm_ids[sel] = p.last_frm.lm_ids[s_last[sel]]
+        sel = s_kf >= 0
+        if sel.any():
+            frm.lm_ids[sel] = p.ref_kf.lm_ids[s_kf[sel]]
+        sel = s_tbl >= 0
+        if sel.any():
+            frm.lm_ids[sel] = tbl.ids[s_tbl[sel]]
+        # drop associations that didn't survive (mapped but outlier)
+        inlier = np.asarray(out.inlier)
+        frm.lm_ids[~inlier] = -1
+
+        # observability counters (vectorized into the table registry)
+        obs_mask = np.asarray(out.observable)
+        tbl.bump_observable(obs_mask)
+        tbl.bump_observed(frm.lm_ids)
+
+        self.num_tracked_lms = num_final
+        self.twist = frm.pose_cw @ np.linalg.inv(p.last_pose_cw)
+        del stage1_fail
+
+        # keyframe insertion
+        if self.mapping_is_enabled:
+            ref_kf = self.map_db.keyframes.get(self.ref_keyfrm_id)
+            if self.keyfrm_inserter.new_keyframe_is_needed(
+                self.map_db, frm, num_final, self.last_keyfrm_time, ref_kf
+            ):
+                kf = self.keyfrm_inserter.insert_new_keyframe(self.map_db, frm)
+                self.ref_keyfrm_id = kf.id
+                self.last_keyfrm_time = frm.timestamp
+        frm.ref_keyfrm_id = self.ref_keyfrm_id
+        self.finalized.append(
+            (frm.id, frm.timestamp, frm.pose_cw.copy(), frm.ref_keyfrm_id)
+        )
+
+    def _on_lost(self, frm: Frame):
+        self.finalized.append((frm.id, frm.timestamp, None, frm.ref_keyfrm_id))
+        if frm.timestamp - self.init_time < 5.0 and self.mapping_is_enabled \
+                and self.camera.setup == Setup.MONOCULAR:
+            self.reset()
+            return
+        self.state = STATE_LOST
+        self.twist = None
+        self._last_assoc_pos = None
+        self._last_assoc_valid = None
+
+    # ------------------------------------------------------------------
+    def _set_chain_from_frame(self, frm: Frame):
+        """Build device association state from a frame's host lm_ids (used
+        after init / reloc / keyframe-seeded maps)."""
+        n = frm.num_slots
+        pos = np.zeros((n, 3), np.float32)
+        has = np.zeros(n, bool)
+        for i in np.nonzero(frm.lm_ids >= 0)[0]:
+            lm = self.map_db.landmarks.get(int(frm.lm_ids[i]))
+            if lm is None or lm.will_be_erased:
+                continue
+            pos[i] = lm.pos_w
+            has[i] = True
+        self._last_assoc_pos = jnp.asarray(pos)
+        self._last_assoc_valid = jnp.asarray(has)
+
+    def _refresh_kf_assoc(self, kf: Keyframe):
+        n = kf.num_slots
+        pos = np.zeros((n, 3), np.float32)
+        has = np.zeros(n, bool)
+        for i in np.nonzero(kf.lm_ids >= 0)[0]:
+            lm = self.map_db.landmarks.get(int(kf.lm_ids[i]))
+            if lm is None or lm.will_be_erased:
+                continue
+            pos[i] = lm.pos_w
+            has[i] = True
+        self._kf_assoc_pos = jnp.asarray(pos)
+        self._kf_assoc_valid = jnp.asarray(has)
+        self._kf_for_assoc = kf
 
     # ------------------------------------------------------------------
     def reset(self):
+        self._pending = None
         self.map_db.clear()
         self.initializer.reset()
         self.state = STATE_INITIALIZING
         self.last_frm = None
         self.twist = None
         self.ref_keyfrm_id = None
+        self._last_assoc_pos = None
+        self._last_assoc_valid = None
+        self._kf_for_assoc = None
         if self.mapper is not None:
             self.mapper.cleaner.fresh_landmark_ids = []
 
@@ -108,8 +316,7 @@ class TrackingModule:
             if not self.initializer.try_initialize_monocular(frm):
                 return False
             return self._create_map_for_monocular(frm)
-        else:
-            return self._create_map_for_stereo(frm)
+        return self._create_map_for_stereo(frm)
 
     def _create_map_for_monocular(self, cur_frm: Frame) -> bool:
         init = self.initializer
@@ -127,7 +334,7 @@ class TrackingModule:
         cur_kf = Keyframe(cur_frm, map_db)
         map_db.add_keyframe(cur_kf)
 
-        matches = init.init_matches  # per-ref-slot cur idx
+        matches = init.init_matches
         pts = init.triangulated_pts
         ok = init.triangulated_ok
         created = 0
@@ -153,7 +360,6 @@ class TrackingModule:
         ref_kf.graph_node.update_connections(map_db)
         cur_kf.graph_node.update_connections(map_db)
 
-        # global BA on the init map (initializer.cc create_map path)
         self._init_map_ba(ref_kf, cur_kf)
         cur_frm.set_pose_cw(cur_kf.pose_cw)
 
@@ -168,7 +374,6 @@ class TrackingModule:
         return True
 
     def _init_map_ba(self, kf1: Keyframe, kf2: Keyframe):
-        """Small full-map BA over the 2-keyframe init map."""
         map_db = self.map_db
         lm_ids = sorted(map_db.landmarks.keys())
         L = max(64, 1 << int(np.ceil(np.log2(max(len(lm_ids), 2)))))
@@ -224,7 +429,6 @@ class TrackingModule:
                 lm.update_mean_normal_and_obs_scale_variance(map_db)
 
     def _create_map_for_stereo(self, cur_frm: Frame) -> bool:
-        """Instant map from depth (initializer.h:124-128)."""
         depths = cur_frm.h_depths
         if (depths > 0).sum() < 50:
             return False
@@ -242,136 +446,6 @@ class TrackingModule:
             self.mapper.async_add_keyframe(kf)
         self.twist = None
         return True
-
-    # ------------------------------------------------------------------
-    def _track(self, frm: Frame) -> bool:
-        last = self.last_frm
-        if last is None or last.pose_cw is None:
-            return False
-        k = self.kernels
-
-        # ---- stage 1: initial pose ----
-        res = None
-        src_frame = last
-        if self.state == STATE_TRACKING and self.twist is not None:
-            pred = self.twist @ last.pose_cw
-            last_pos, last_has = self._assoc_positions(last)
-            for margin in (k.margin_last, 2 * k.margin_last):
-                res = k.motion_track(
-                    frm.undist_xy, frm.feats.level, frm.feats.desc,
-                    frm.feats.valid, frm.feats.angle, frm.x_right,
-                    last.feats.desc, last.feats.level, last.feats.angle,
-                    jnp.asarray(last_has), jnp.asarray(last_pos),
-                    jnp.asarray(pred[:3, :3], dtype=jnp.float32),
-                    jnp.asarray(pred[:3, 3], dtype=jnp.float32),
-                    jnp.float32(margin),
-                )
-                if int(res.num_inliers) >= self.num_matches_thr:
-                    break
-                res = None
-        if res is None:
-            # stage 2: match against the reference keyframe
-            ref_kf = self.map_db.keyframes.get(self.ref_keyfrm_id)
-            if ref_kf is None:
-                return False
-            kf_pos, kf_has = self._assoc_positions(ref_kf)
-            res = k.keyframe_track(
-                frm.undist_xy, frm.feats.level, frm.feats.desc,
-                frm.feats.valid, frm.feats.angle, frm.x_right,
-                ref_kf.feats.desc, ref_kf.feats.angle, jnp.asarray(kf_has),
-                jnp.asarray(kf_pos),
-                jnp.asarray(last.pose_cw[:3, :3], dtype=jnp.float32),
-                jnp.asarray(last.pose_cw[:3, 3], dtype=jnp.float32),
-            )
-            src_frame = ref_kf
-            if int(res.num_inliers) < self.num_matches_thr:
-                return False
-
-        # host bookkeeping of stage-1 associations
-        assoc_ref = np.asarray(res.assoc_ref)
-        frm.lm_ids[:] = -1
-        src_lm_ids = src_frame.lm_ids
-        sel = assoc_ref >= 0
-        frm.lm_ids[sel] = src_lm_ids[assoc_ref[sel]]
-
-        # ---- stage 2: local-map tracking over the device landmark table ----
-        tbl = self.map_db.device_table
-        if tbl.pos is None:
-            self.map_db.refresh_device_table()
-            tbl = self.map_db.device_table
-        margin = (
-            k.margin_local_unstable
-            if frm.id < self.last_reloc_frm_id + 2
-            else k.margin_local
-        )
-        assoc_valid = jnp.asarray(frm.lm_ids >= 0)
-        res2, observable = k.local_map_track(
-            frm.undist_xy, frm.feats.level, frm.feats.desc, frm.feats.valid,
-            frm.feats.angle, frm.x_right,
-            res.assoc_pos, assoc_valid,
-            tbl.pos, tbl.desc, tbl.normal, tbl.min_dist, tbl.max_dist, tbl.valid,
-            res.R_cw, res.t_cw, jnp.float32(margin),
-        )
-        num_tracked = int(res2.num_inliers)
-        if num_tracked < self.min_num_tracked_lms // (
-            2 if frm.id < self.last_reloc_frm_id + 2 else 1
-        ):
-            return False
-
-        # pose + association readback
-        T = np.eye(4)
-        T[:3, :3] = np.asarray(res2.R_cw)
-        T[:3, 3] = np.asarray(res2.t_cw)
-        frm.set_pose_cw(T)
-        new_src = np.asarray(res2.assoc_ref)
-        inlier = np.asarray(res2.inlier)
-        sel_new = new_src >= 0
-        frm.lm_ids[sel_new] = tbl.ids[new_src[sel_new]]
-        frm.lm_ids[~inlier & ~sel_new & (frm.lm_ids >= 0)] = -1
-
-        # observability counters (tracking_module.cc search_local_landmarks)
-        obs_mask = np.asarray(observable)
-        with self.map_db.lock:
-            for row in np.nonzero(obs_mask[: tbl.count])[0]:
-                lm = self.map_db.landmarks.get(int(tbl.ids[row]))
-                if lm is not None:
-                    lm.increase_num_observable()
-            for lm_id in frm.lm_ids[frm.lm_ids >= 0]:
-                lm = self.map_db.landmarks.get(int(lm_id))
-                if lm is not None:
-                    lm.increase_num_observed()
-        self.num_tracked_lms = num_tracked
-
-        # ---- motion model (cc:401-413) ----
-        last_pose_wc = np.linalg.inv(last.pose_cw)
-        self.twist = frm.pose_cw @ last_pose_wc
-
-        # ---- keyframe insertion ----
-        if self.mapping_is_enabled:
-            ref_kf = self.map_db.keyframes.get(self.ref_keyfrm_id)
-            if self.keyfrm_inserter.new_keyframe_is_needed(
-                self.map_db, frm, num_tracked, self.last_keyfrm_time, ref_kf
-            ):
-                kf = self.keyfrm_inserter.insert_new_keyframe(self.map_db, frm)
-                self.ref_keyfrm_id = kf.id
-                self.last_keyfrm_time = frm.timestamp
-        frm.ref_keyfrm_id = self.ref_keyfrm_id
-        return True
-
-    # ------------------------------------------------------------------
-    def _assoc_positions(self, frame_like):
-        """Per-slot landmark world positions + mask (host numpy)."""
-        n = frame_like.num_slots
-        pos = np.zeros((n, 3), np.float32)
-        has = np.zeros(n, bool)
-        for i in np.nonzero(frame_like.lm_ids >= 0)[0]:
-            lm = self.map_db.landmarks.get(int(frame_like.lm_ids[i]))
-            if lm is None or lm.will_be_erased:
-                frame_like.lm_ids[i] = -1
-                continue
-            pos[i] = lm.pos_w
-            has[i] = True
-        return pos, has
 
     # ------------------------------------------------------------------
     def _relocalize(self, frm: Frame) -> bool:

@@ -23,12 +23,13 @@ def slam_run():
     )
     sys_ = System(cfg, inline_mapping=True)
     sys_.startup()
-    results = []
     for i, T in enumerate(poses_gt):
         img = world.render(T)
-        pose = sys_.feed_monocular_frame(img, i * 0.05)
-        results.append(pose)
+        sys_.feed_monocular_frame(img, i * 0.05)
     sys_.shutdown()
+    # finalized per-frame poses, ordered by timestamp
+    by_ts = {round(ts / 0.05): pose for (ts, pose, _, _) in sys_.frame_poses}
+    results = [by_ts.get(i) for i in range(n)]
     return sys_, poses_gt, results
 
 
