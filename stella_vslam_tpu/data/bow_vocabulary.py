@@ -1,0 +1,146 @@
+"""Bag-of-visual-words vocabulary as on-device matmul tree descent.
+
+Reference: src/stella_vslam/data/bow_vocabulary.{h,cc} wraps a pretrained FBoW
+binary vocabulary (.fbow file, 3rd/FBoW submodule) and computes per-image BoW
+vectors by walking a k-ary tree of binary centers with CPU popcount loops.
+
+TPU-native redesign: this framework carries its OWN descriptor family (the
+seeded BRIEF pattern in feature/orb_pattern.py), so a pretrained OpenCV-ORB
+vocabulary would not transfer; instead the vocabulary is a deterministic
+seeded hierarchy of binary centers (branching K_BRANCH, DEPTH levels). The
+tree descent runs entirely on device as bf16 matmuls: Hamming distance to
+every node of a level is (256 - <desc_pm1, center_pm1>)/2, and the child
+restriction is a one-hot select — zero gathers. An optional `train` method
+refines the centers with Lloyd k-medians over sample descriptors (binary
+median = majority vote), also matmul-based.
+
+The leaf id is the "word"; host code builds tf (L1-normalized) BoW vectors
+and the inverted index (bow_database.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+K_BRANCH = 10
+DEPTH = 4  # 10^4 = 10000 words
+_VOCAB_SEED = 0xB0A
+
+
+def _unpack_pm1_np(desc_u32: np.ndarray) -> np.ndarray:
+    bits = np.unpackbits(desc_u32.view(np.uint8).reshape(len(desc_u32), -1),
+                         axis=1, bitorder="little")
+    return (bits.astype(np.float32) * 2.0 - 1.0)[:, :256]
+
+
+class BowVocabulary:
+    def __init__(self, seed: int = _VOCAB_SEED):
+        rng = np.random.default_rng(seed)
+        # centers per level: level l has K^(l+1) nodes (children of K^l parents)
+        self.centers = []  # list of [K^(l+1), 256] float32 in {-1,+1}
+        for lvl in range(DEPTH):
+            n = K_BRANCH ** (lvl + 1)
+            c = rng.integers(0, 2, size=(n, 256)).astype(np.float32) * 2 - 1
+            self.centers.append(c)
+        self._centers_dev = None
+        self.num_words = K_BRANCH**DEPTH
+
+    def _dev_centers(self):
+        if self._centers_dev is None:
+            self._centers_dev = [
+                jnp.asarray(c.T, dtype=jnp.bfloat16) for c in self.centers
+            ]  # [256, n] for matmul
+        return self._centers_dev
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnames=("self",))
+    def transform(self, desc: jnp.ndarray) -> jnp.ndarray:
+        """[N, 8] u32 descriptors -> [N] i32 leaf word ids (tree descent)."""
+        N = desc.shape[0]
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bits = ((desc[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1))
+        pm1 = (bits.reshape(N, 256).astype(jnp.bfloat16) * 2 - 1)
+
+        node = jnp.zeros(N, dtype=jnp.int32)
+        for lvl, cT in enumerate(self._dev_centers()):
+            # similarity to every node at this level: one matmul
+            sim = jax.lax.dot_general(
+                pm1, cT, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [N, K^(l+1)]  (higher = closer)
+            # restrict to the K children of the current node via one-hot
+            n_parents = K_BRANCH**lvl
+            simr = sim.reshape(N, n_parents, K_BRANCH)
+            ip = jax.lax.broadcasted_iota(jnp.int32, (1, n_parents), 1)
+            oh = (node[:, None] == ip).astype(sim.dtype)  # [N, parents]
+            child_sim = jnp.einsum("npk,np->nk", simr, oh)  # [N, K]
+            best_child = jnp.argmax(child_sim, axis=-1).astype(jnp.int32)
+            node = node * K_BRANCH + best_child
+        return node
+
+    # ------------------------------------------------------------------
+    def compute_bow(self, desc_u32: np.ndarray, valid: np.ndarray):
+        """Host entry: returns (word_ids [N] i64 with -1 invalid,
+        bow dict word->tf weight, L1-normalized)."""
+        words = np.asarray(self.transform(jnp.asarray(desc_u32))).astype(np.int64)
+        words = np.where(valid, words, -1)
+        vw = words[words >= 0]
+        if len(vw) == 0:
+            return words, {}
+        uniq, cnt = np.unique(vw, return_counts=True)
+        total = cnt.sum()
+        return words, {int(w): float(c) / total for w, c in zip(uniq, cnt)}
+
+    # ------------------------------------------------------------------
+    def train(self, descriptors: np.ndarray, num_iters: int = 8, seed: int = 1):
+        """Lloyd refinement of the random tree with sample descriptors
+        (binary k-medians via majority vote), top level first."""
+        pm1 = _unpack_pm1_np(descriptors)
+        rng = np.random.default_rng(seed)
+        assign_parent = np.zeros(len(pm1), dtype=np.int64)
+        for lvl in range(DEPTH):
+            n_parents = K_BRANCH**lvl
+            centers = self.centers[lvl].copy()
+            for _ in range(num_iters):
+                # assignment restricted to each parent's children
+                sims = pm1 @ centers.T  # [S, K^(l+1)]
+                sims = sims.reshape(len(pm1), n_parents, K_BRANCH)
+                child = sims[np.arange(len(pm1)), assign_parent].argmax(-1)
+                assign = assign_parent * K_BRANCH + child
+                # majority-vote update
+                for node in range(centers.shape[0]):
+                    sel = assign == node
+                    if sel.sum() >= 2:
+                        centers[node] = np.sign(pm1[sel].sum(0) + 1e-3)
+            self.centers[lvl] = centers
+            sims = pm1 @ centers.T
+            sims = sims.reshape(len(pm1), n_parents, K_BRANCH)
+            child = sims[np.arange(len(pm1)), assign_parent].argmax(-1)
+            assign_parent = assign_parent * K_BRANCH + child
+        self._centers_dev = None  # refresh device copies
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def score(bow1: dict, bow2: dict) -> float:
+        """DBoW2 L1 score: 1 - 0.5 * sum|v - w| = sum min(v_i, w_i) for
+        L1-normalized vectors (reference bow_vocabulary.cc score)."""
+        s = 0.0
+        for w, v in bow1.items():
+            u = bow2.get(w)
+            if u is not None:
+                s += min(v, u)
+        return s
+
+    def save(self, path: str):
+        np.savez_compressed(path, **{f"level_{i}": c for i, c in enumerate(self.centers)})
+
+    @staticmethod
+    def load(path: str) -> "BowVocabulary":
+        v = BowVocabulary()
+        data = np.load(path)
+        v.centers = [data[f"level_{i}"] for i in range(DEPTH)]
+        v._centers_dev = None
+        return v

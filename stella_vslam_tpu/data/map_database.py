@@ -113,6 +113,7 @@ class MapDatabase:
         self.fixed_keyframe_id_threshold = -1
         self.device_table = DeviceLandmarkTable(device_table_capacity)
         self.local_landmark_ids: list = []
+        self.on_erase_keyframe: list = []  # callbacks(kf_id)
 
     # ---- id allocation ----
     def next_keyframe_id(self) -> int:
@@ -162,6 +163,8 @@ class MapDatabase:
             kf.graph_node.erase_all_connections(self)
             kf.graph_node.recompute_spanning_parent_on_erase(self)
             del self.keyframes[kf_id]
+            for cb in self.on_erase_keyframe:
+                cb(kf_id)
 
     def replace_landmark(self, old: Landmark, new: Landmark):
         """reference landmark::replace — move observations to `new`."""

@@ -242,8 +242,11 @@ class OrbExtractor:
             gp, g = self.levels[lvl - 1], self.levels[lvl]
             R, C = _resize_matrices(gp.H, gp.W, g.H, g.W)
             self._resize_mats.append((jnp.asarray(R), jnp.asarray(C)))
-        self._extract = jax.jit(lambda img, m: self._extract_impl(img, m))
-        self._extract_nomask = jax.jit(lambda img: self._extract_impl(img, None))
+        self._extract = jax.jit(lambda img, m: self._extract_impl(img, m)[0])
+        self._extract_nomask = jax.jit(lambda img: self._extract_impl(img, None)[0])
+        self._extract_patches_nomask = jax.jit(
+            lambda img: self._extract_impl(img, None)
+        )
 
     # ------------------------------------------------------------------
     def extract(self, image: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> FrameFeatures:
@@ -252,6 +255,11 @@ class OrbExtractor:
         if mask is not None:
             return self._extract(img, jnp.asarray(mask) != 0)
         return self._extract_nomask(img)
+
+    def extract_with_patches(self, image: jnp.ndarray):
+        """Like extract(), additionally returning the blurred 39x39 descriptor
+        patches [N, 1521] bf16 (consumed by the stereo subpixel matcher)."""
+        return self._extract_patches_nomask(jnp.asarray(image))
 
     # ------------------------------------------------------------------
     def _extract_impl(self, img0: jnp.ndarray, mask0: jnp.ndarray) -> FrameFeatures:
@@ -273,9 +281,11 @@ class OrbExtractor:
         level = jnp.concatenate([o[3] for o in outs], axis=0)
         valid = jnp.concatenate([o[4] for o in outs], axis=0)
 
-        desc = self._describe_all(jnp.concatenate(patches, axis=0), angle)
-        return FrameFeatures(xy=xy, response=resp, angle=angle, level=level,
-                             valid=valid, desc=desc)
+        all_patches = jnp.concatenate(patches, axis=0)
+        desc = self._describe_all(all_patches, angle)
+        feats = FrameFeatures(xy=xy, response=resp, angle=angle, level=level,
+                              valid=valid, desc=desc)
+        return feats, all_patches
 
     # ------------------------------------------------------------------
     def _process_level(self, img, mask0, g: _LevelGeom, lvl: int):

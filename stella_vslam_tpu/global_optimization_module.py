@@ -1,0 +1,377 @@
+"""Global optimization module: loop detection, correction, pose-graph + BA.
+
+Reference: src/stella_vslam/global_optimization_module.{h,cc} — a dedicated
+thread consuming keyframes from the mapper: loop detect -> validate ->
+Sim3-propagate the correction to covisibilities (cc:212-312, 314-398),
+de-duplicate landmarks across the loop (cc:400-491), pose-graph optimization
+(cc:284), loop-edge insertion, and a detached global-BA with spanning-tree
+propagation (module/loop_bundle_adjuster.cc).
+
+TPU-native split: pose-graph and global BA run as device programs
+(ops/optim/sim3.optimize_pose_graph, ops/optim/ba.bundle_adjust with global
+buckets); graph surgery stays host-side.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from stella_vslam_tpu.module.loop_detector import LoopDetector
+from stella_vslam_tpu.module.tracking_kernels import make_cam_scalars
+from stella_vslam_tpu.ops import lie as lie_np  # noqa: F401  (naming clarity)
+from stella_vslam_tpu.ops.optim import ba as ba_mod
+from stella_vslam_tpu.ops.optim import sim3 as sim3_opt
+
+
+class GlobalOptimizationModule:
+    def __init__(self, map_db, camera, orb_params, bow_db, *,
+                 fix_scale: bool = False):
+        self.map_db = map_db
+        self.camera = camera
+        self.orb_params = orb_params
+        self.loop_detector = LoopDetector(
+            camera, orb_params, bow_db,
+            fix_scale_in_Sim3_estimation=fix_scale,
+        )
+        self._queue: "queue.Queue" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._terminate = threading.Event()
+        self.mapper = None  # wired by system
+        self.num_loops_closed = 0
+        self.loop_ba_running = False
+
+    # ------------------------------------------------------------------
+    def queue_keyframe(self, kf):
+        self._queue.put(kf)
+
+    def start(self):
+        self._terminate.clear()
+        self._thread = threading.Thread(target=self.run, daemon=True)
+        self._thread.start()
+
+    def request_terminate(self):
+        self._terminate.set()
+
+    def join(self):
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    def enable_loop_detector(self):
+        self.loop_detector.enabled = True
+
+    def disable_loop_detector(self):
+        self.loop_detector.enabled = False
+
+    def loop_detector_is_enabled(self) -> bool:
+        return self.loop_detector.enabled
+
+    # ------------------------------------------------------------------
+    def run(self):
+        while not self._terminate.is_set():
+            try:
+                kf = self._queue.get(timeout=0.005)
+            except queue.Empty:
+                continue
+            self.process_keyframe(kf)
+
+    def process_keyframe(self, kf):
+        if kf.will_be_erased:
+            return
+        cands = self.loop_detector.detect_loop_candidates(self.map_db, kf)
+        if not cands:
+            return
+        val = self.loop_detector.validate_candidates(self.map_db, kf, cands)
+        if val is None:
+            return
+        cand_id, sim3_cw, src_cand_slot, inl = val
+        self.correct_loop(kf, cand_id, sim3_cw, src_cand_slot, inl)
+
+    # ------------------------------------------------------------------
+    def correct_loop(self, cur_kf, cand_id, sim3_cw, src_cand_slot, inl):
+        map_db = self.map_db
+        if self.mapper is not None:
+            self.mapper.request_pause()
+            t0 = time.time()
+            while not self.mapper.is_paused() and time.time() - t0 < 5.0 \
+                    and self.mapper._thread is not None and self.mapper._thread.is_alive():
+                time.sleep(0.002)
+
+        try:
+            with map_db.lock:
+                s_cw, R_cw, t_cw = sim3_cw
+                # non-corrected Sim3 of current
+                R_old, t_old = cur_kf.rot_cw, cur_kf.trans_cw
+                # corrected Sim3s for current + covisibilities:
+                # S_i_corr = S_i_old o S_cur_old^-1 o S_cur_corr
+                covis = [cur_kf.id] + cur_kf.graph_node.get_covisibilities()
+                corrections = {}
+                moved_lms = set()
+                for kid in covis:
+                    kf = map_db.keyframes.get(kid)
+                    if kf is None or kf.will_be_erased:
+                        continue
+                    R_i, t_i = kf.rot_cw, kf.trans_cw
+                    # relative (SE3): i <- cur
+                    R_rel = R_i @ R_old.T
+                    t_rel = t_i - R_rel @ t_old
+                    # corrected: S_i = SE3_rel o S_cur_corr (scale folds in)
+                    s_i = s_cw
+                    R_i_new = R_rel @ R_cw
+                    t_i_new = R_rel @ t_cw + t_rel * s_cw
+                    corrections[kid] = (s_i, R_i_new, t_i_new)
+                # move landmarks observed by the covisible set:
+                # X_new = S_i_corr^-1 ( S_i_old (X_old) ), Sim3 inverse recovers
+                # the scale-corrected position
+                for kid in covis:
+                    kf = map_db.keyframes.get(kid)
+                    if kf is None or kid not in corrections:
+                        continue
+                    s_i, R_i_new, t_i_new = corrections[kid]
+                    R_i, t_i = kf.rot_cw, kf.trans_cw
+                    for lm_id in kf.lm_ids[kf.lm_ids >= 0]:
+                        lm = map_db.landmarks.get(int(lm_id))
+                        if lm is None or lm.will_be_erased or lm.id in moved_lms:
+                            continue
+                        moved_lms.add(lm.id)
+                        Xc = R_i @ lm.pos_w + t_i  # old camera coords
+                        # corrected world: S_corr^-1 applied to camera point
+                        lm.pos_w = (R_i_new.T @ (Xc - t_i_new)) / s_i
+                    # write the corrected SE3 pose (divide translation by s)
+                    T = np.eye(4)
+                    T[:3, :3] = R_i_new
+                    T[:3, 3] = t_i_new / s_i
+                    kf.set_pose_cw(T)
+
+                # landmark de-duplication across the loop: matched candidate
+                # landmarks replace current ones (cc:400-491)
+                cand = map_db.keyframes.get(cand_id)
+                if cand is not None:
+                    for f_slot in np.nonzero(inl & (src_cand_slot >= 0))[0]:
+                        cand_lm_id = cand.lm_ids[src_cand_slot[f_slot]]
+                        cur_lm_id = cur_kf.lm_ids[f_slot]
+                        if cand_lm_id < 0:
+                            continue
+                        cand_lm = map_db.landmarks.get(int(cand_lm_id))
+                        if cand_lm is None or cand_lm.will_be_erased:
+                            continue
+                        if cur_lm_id >= 0 and cur_lm_id != cand_lm_id:
+                            cur_lm = map_db.landmarks.get(int(cur_lm_id))
+                            if cur_lm is not None and not cur_lm.will_be_erased:
+                                map_db.replace_landmark(cur_lm, cand_lm)
+                        elif cur_lm_id < 0:
+                            cand_lm.add_observation(cur_kf.id, int(f_slot))
+                            cur_kf.add_landmark(int(cand_lm_id), int(f_slot))
+
+                # new connections after fusion
+                for kid in covis:
+                    kf = map_db.keyframes.get(kid)
+                    if kf is not None:
+                        kf.graph_node.update_connections(map_db)
+                # loop edges
+                cur_kf.graph_node.add_loop_edge(cand_id)
+                if cand is not None:
+                    cand.graph_node.add_loop_edge(cur_kf.id)
+
+            # pose-graph optimization over the essential graph
+            self._pose_graph_optimize(corrections)
+            self.num_loops_closed += 1
+
+            # global BA (reference runs it on a detached thread; here inline
+            # on this background thread — it IS the detached thread)
+            self.run_global_bundle_adjustment()
+        finally:
+            if self.mapper is not None:
+                self.mapper.resume()
+            self.map_db.refresh_device_table()
+
+    # ------------------------------------------------------------------
+    def _pose_graph_optimize(self, corrections):
+        map_db = self.map_db
+        with map_db.lock:
+            kf_ids = sorted(
+                k for k, kf in map_db.keyframes.items() if not kf.will_be_erased
+            )
+            if len(kf_ids) < 3:
+                return
+            idx_of = {k: i for i, k in enumerate(kf_ids)}
+            K = len(kf_ids)
+            s = np.ones(K, np.float32)
+            R = np.zeros((K, 3, 3), np.float32)
+            t = np.zeros((K, 3), np.float32)
+            before = {}
+            for k, i in idx_of.items():
+                kf = map_db.keyframes[k]
+                R[i] = kf.rot_cw
+                t[i] = kf.trans_cw
+                before[k] = (kf.rot_cw.copy(), kf.trans_cw.copy())
+            # essential graph edges: spanning tree + loop edges + covis >= 100
+            edges = set()
+            for k in kf_ids:
+                kf = map_db.keyframes[k]
+                gn = kf.graph_node
+                if gn.spanning_parent is not None and gn.spanning_parent in idx_of:
+                    edges.add((min(k, gn.spanning_parent), max(k, gn.spanning_parent)))
+                for le in gn.loop_edges:
+                    if le in idx_of:
+                        edges.add((min(k, le), max(k, le)))
+                for cid, w in gn.connections.items():
+                    if w >= 100 and cid in idx_of:
+                        edges.add((min(k, cid), max(k, cid)))
+            edges = sorted(edges)
+            if not edges:
+                return
+            E = len(edges)
+            ei = np.array([idx_of[a] for a, b in edges], np.int32)
+            ej = np.array([idx_of[b] for a, b in edges], np.int32)
+            es = np.ones(E, np.float32)
+            eR = np.zeros((E, 3, 3), np.float32)
+            et = np.zeros((E, 3), np.float32)
+            for n, (a, b) in enumerate(edges):
+                Ra, ta = before[a]
+                Rb, tb = before[b]
+                # measurement S_ij = S_i o S_j^-1 at the (pre-correction) poses
+                eR[n] = Ra @ Rb.T
+                et[n] = ta - eR[n] @ tb
+
+        res = sim3_opt.optimize_pose_graph(
+            jnp.asarray(s), jnp.asarray(R), jnp.asarray(t),
+            jnp.asarray(np.array([k == map_db.origin_keyfrm_id for k in kf_ids])),
+            jnp.ones(K, bool),
+            jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(es),
+            jnp.asarray(eR), jnp.asarray(et), jnp.ones(E, bool),
+        )
+        s_new = np.asarray(res.s_cw)
+        R_new = np.asarray(res.R_cw)
+        t_new = np.asarray(res.t_cw)
+        with map_db.lock:
+            # remap landmarks via their reference keyframe before/after poses
+            for lm in map_db.landmarks.values():
+                if lm.will_be_erased:
+                    continue
+                rk = lm.ref_keyfrm_id
+                if rk not in idx_of or rk not in before:
+                    continue
+                i = idx_of[rk]
+                R_b, t_b = before[rk]
+                Xc = R_b @ lm.pos_w + t_b  # camera coords at the old SE3 pose
+                # new world position via the optimized Sim3: X = R^T(Xc - t)/s
+                lm.pos_w = R_new[i].T @ (Xc - t_new[i]) / s_new[i]
+            for k, i in idx_of.items():
+                kf = map_db.keyframes.get(k)
+                if kf is None:
+                    continue
+                T = np.eye(4)
+                T[:3, :3] = R_new[i]
+                T[:3, 3] = t_new[i] / s_new[i]
+                kf.set_pose_cw(T)
+
+    # ------------------------------------------------------------------
+    def run_global_bundle_adjustment(self, num_iter: int = 10):
+        """Full-map BA (reference loop_bundle_adjuster + global_bundle_adjuster)."""
+        map_db = self.map_db
+        self.loop_ba_running = True
+        try:
+            prob, lm_ids, kf_slots = self._assemble_global_ba()
+            if prob is None:
+                return
+            res = ba_mod.bundle_adjust(
+                prob, make_cam_scalars(self.camera),
+                model=self.camera.model.name.lower(),
+                num_first=4, num_second=num_iter,
+            )
+            camR = np.asarray(res.cam_R)
+            camt = np.asarray(res.cam_t)
+            lm_new = np.asarray(res.lm_pos)
+            with map_db.lock:
+                for slot, kf_id in enumerate(kf_slots):
+                    if kf_id < 0:
+                        continue
+                    kf = map_db.keyframes.get(kf_id)
+                    if kf is None or bool(np.asarray(prob.cam_fixed)[slot]):
+                        continue
+                    T = np.eye(4)
+                    T[:3, :3] = camR[slot]
+                    T[:3, 3] = camt[slot]
+                    kf.set_pose_cw(T)
+                for l, lm_id in enumerate(lm_ids):
+                    if lm_id < 0:
+                        continue
+                    lm = map_db.landmarks.get(lm_id)
+                    if lm is not None and not lm.will_be_erased:
+                        lm.pos_w = lm_new[l].astype(np.float64)
+        finally:
+            self.loop_ba_running = False
+
+    def _assemble_global_ba(self, D: int = 8):
+        map_db = self.map_db
+        with map_db.lock:
+            kf_ids = sorted(
+                k for k, kf in map_db.keyframes.items() if not kf.will_be_erased
+            )
+            lm_ids = sorted(
+                k for k, lm in map_db.landmarks.items() if not lm.will_be_erased
+            )
+            if len(kf_ids) < 2 or len(lm_ids) < 8:
+                return None, None, None
+            K = 1 << int(np.ceil(np.log2(max(len(kf_ids), 2))))
+            L = 1 << int(np.ceil(np.log2(max(len(lm_ids), 8))))
+            slot_of = {k: i for i, k in enumerate(kf_ids)}
+            inv_sigma = np.asarray(self.orb_params.inv_level_sigma_sq, np.float32)
+            cam_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+            cam_t = np.zeros((K, 3), np.float32)
+            cam_fixed = np.ones(K, bool)
+            cam_valid = np.zeros(K, bool)
+            for k, i in slot_of.items():
+                kf = map_db.keyframes[k]
+                cam_R[i] = kf.rot_cw
+                cam_t[i] = kf.trans_cw
+                cam_valid[i] = True
+                cam_fixed[i] = (
+                    k == map_db.origin_keyfrm_id
+                    or k <= map_db.fixed_keyframe_id_threshold
+                )
+            lm_pos = np.zeros((L, 3), np.float32)
+            lm_valid = np.zeros(L, bool)
+            obs_cam = np.zeros((L, D), np.int32)
+            obs_uv = np.zeros((L, D, 2), np.float32)
+            obs_xr = np.full((L, D), -1.0, np.float32)
+            obs_w = np.ones((L, D), np.float32)
+            obs_valid = np.zeros((L, D), bool)
+            for l, lm_id in enumerate(lm_ids):
+                lm = map_db.landmarks[lm_id]
+                lm_pos[l] = lm.pos_w
+                lm_valid[l] = True
+                d = 0
+                for kf_id, idx in lm.observations.items():
+                    if d >= D:
+                        break
+                    s = slot_of.get(kf_id)
+                    if s is None:
+                        continue
+                    kf = map_db.keyframes.get(kf_id)
+                    if kf is None:
+                        continue
+                    obs_cam[l, d] = s
+                    obs_uv[l, d] = kf.h_undist_xy[idx]
+                    obs_xr[l, d] = kf.h_x_right[idx]
+                    obs_w[l, d] = inv_sigma[int(kf.h_level[idx])]
+                    obs_valid[l, d] = True
+                    d += 1
+        prob = ba_mod.BAProblem(
+            cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
+            cam_fixed=jnp.asarray(cam_fixed), cam_valid=jnp.asarray(cam_valid),
+            lm_pos=jnp.asarray(lm_pos), lm_valid=jnp.asarray(lm_valid),
+            obs_cam=jnp.asarray(obs_cam), obs_uv=jnp.asarray(obs_uv),
+            obs_x_right=jnp.asarray(obs_xr), obs_inv_sigma_sq=jnp.asarray(obs_w),
+            obs_valid=jnp.asarray(obs_valid),
+        )
+        return (
+            prob,
+            list(lm_ids) + [-1] * (L - len(lm_ids)),
+            list(kf_ids) + [-1] * (K - len(kf_ids)),
+        )

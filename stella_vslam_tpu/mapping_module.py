@@ -55,6 +55,7 @@ class MappingModule:
         self._idle = threading.Event()
         self._idle.set()
         self.global_optimizer = None  # wired by system
+        self.bow_db = None  # wired by system
         self.tracker = None
         self.num_processed = 0
 
@@ -119,7 +120,10 @@ class MappingModule:
     # ------------------------------------------------------------------
     def mapping_with_new_keyframe(self, cur: Keyframe):
         map_db = self.map_db
-        # (store_new_keyframe already done by keyframe_inserter for bookkeeping)
+        # store: BoW for place recognition (mapping_module.cc store_new_keyframe)
+        if self.bow_db is not None and cur.id not in self.bow_db.bow_vecs:
+            _, bow_vec = self.bow_db.vocab.compute_bow(cur.h_desc, cur.h_valid)
+            self.bow_db.add_keyframe(cur.id, bow_vec)
         self.cleaner.remove_invalid_landmarks(map_db, cur.id)
         self.create_new_landmarks(cur)
         self.fuse_landmark_duplication(cur)

@@ -106,8 +106,10 @@ class KeyframeInserter:
         und = kf.h_undist_xy
         for idx in order:
             z = depths[idx]
-            if not valid[idx] or z <= 0:
-                break
+            if z <= 0 or not np.isfinite(z):
+                break  # sorted: no more positive depths
+            if not valid[idx]:
+                continue
             if kf.lm_ids[idx] >= 0:
                 continue
             if z > depth_thr and created >= 100:

@@ -1,0 +1,213 @@
+"""Loop detection: BoW candidates with continuity + Sim3 validation.
+
+Reference: src/stella_vslam/module/loop_detector.{h,cc} — two phases:
+(A) candidates: min BoW score over current covisibilities as the floor
+    (cc:278), BoW acquisition excluding the connected set (cc:72-132),
+    continuity check requiring >= 3 consecutive "keyframe sets" (cc:140-180);
+(B) validation: brute-force match >= 20 -> pose hypothesis via PnP RANSAC ->
+    Sim3 scale from matched landmark pair-distance ratios -> transform
+    optimizer refinement -> inlier gate (cc:358-560). Outputs Sim3
+    world->current.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stella_vslam_tpu.match import robust as robust_match
+from stella_vslam_tpu.ops.optim import sim3 as sim3_opt
+from stella_vslam_tpu.ops.solve import pnp as pnp_solve
+
+
+class LoopDetector:
+    def __init__(self, camera, orb_params, bow_db, *,
+                 num_final_matches_thr: int = 40,
+                 min_continuity: int = 3,
+                 use_fixed_seed: bool = False,
+                 fix_scale_in_Sim3_estimation: bool = False):
+        self.camera = camera
+        self.orb = orb_params
+        self.bow_db = bow_db
+        self.num_final_matches_thr = num_final_matches_thr
+        self.min_continuity = min_continuity
+        self.fix_scale = fix_scale_in_Sim3_estimation
+        self.scale_factors = jnp.asarray(orb_params.scale_factors, dtype=jnp.float32)
+        self._key = jax.random.PRNGKey(11 if use_fixed_seed else np.random.randint(1 << 30))
+        # continuity bookkeeping: list of (keyframe id set, count)
+        self.cont_sets: List[Tuple[Set[int], int]] = []
+        self.enabled = True
+
+    # ------------------------------------------------------------------
+    def detect_loop_candidates(self, map_db, cur_kf) -> List[int]:
+        if not self.enabled:
+            return []
+        bow_cur = self.bow_db.bow_vecs.get(cur_kf.id)
+        if bow_cur is None:
+            return []
+        covis = cur_kf.graph_node.get_covisibilities()
+        # score floor: min score against own covisibilities (cc:278)
+        min_score = 1.0
+        for kid in covis:
+            v = self.bow_db.bow_vecs.get(kid)
+            if v is not None:
+                min_score = min(min_score, self.bow_db.vocab.score(bow_cur, v))
+        reject = set(covis) | {cur_kf.id}
+        cands = self.bow_db.acquire_keyframes(
+            bow_cur, min_score=min_score, reject=reject
+        )
+        # continuity: candidate's set = candidate + its covisibilities must
+        # intersect a previously tracked set for >= min_continuity rounds
+        passed = []
+        new_sets: List[Tuple[Set[int], int]] = []
+        for cand_id in cands:
+            kf = map_db.keyframes.get(cand_id)
+            if kf is None or kf.will_be_erased:
+                continue
+            cand_set = set(kf.graph_node.get_covisibilities()) | {cand_id}
+            count = 0
+            for prev_set, prev_count in self.cont_sets:
+                if cand_set & prev_set:
+                    count = max(count, prev_count + 1)
+            new_sets.append((cand_set, count))
+            if count >= self.min_continuity - 1:
+                passed.append(cand_id)
+        self.cont_sets = new_sets
+        return passed
+
+    # ------------------------------------------------------------------
+    def validate_candidates(self, map_db, cur_kf, candidates: List[int]):
+        """Returns (cand_kf_id, Sim3 (s,R,t) cur<-world, matched landmark ids
+        per current slot) or None."""
+        for cand_id in candidates:
+            out = self.select_loop_candidate_via_Sim3(map_db, cur_kf, cand_id)
+            if out is not None:
+                return out
+        return None
+
+    def select_loop_candidate_via_Sim3(self, map_db, cur_kf, cand_id: int):
+        cand = map_db.keyframes.get(cand_id)
+        if cand is None or cand.will_be_erased:
+            return None
+        # 1. brute force match: per cand landmark slot -> cur keypoint
+        cand_pos = np.zeros((cand.num_slots, 3), np.float32)
+        cand_has = np.zeros(cand.num_slots, bool)
+        for i in np.nonzero(cand.lm_ids >= 0)[0]:
+            lm = map_db.landmarks.get(int(cand.lm_ids[i]))
+            if lm is not None and not lm.will_be_erased:
+                cand_pos[i] = lm.pos_w
+                cand_has[i] = True
+        b_idx, b_acc, _ = robust_match.brute_force_match(
+            cur_kf.feats.angle, cur_kf.feats.desc, cur_kf.feats.valid,
+            cand.feats.angle, cand.feats.desc, jnp.asarray(cand_has),
+            lowe_ratio=0.75,
+        )
+        acc = np.asarray(b_acc)
+        idx = np.asarray(b_idx)
+        if acc.sum() < 20:
+            return None
+
+        # per-cur-slot correspondence to candidate landmarks
+        n = cur_kf.num_slots
+        pos = np.zeros((n, 3), np.float32)
+        has = np.zeros(n, bool)
+        src_cand_slot = np.full(n, -1, np.int64)
+        for cand_slot in np.nonzero(acc)[0]:
+            f = idx[cand_slot]
+            pos[f] = cand_pos[cand_slot]
+            has[f] = True
+            src_cand_slot[f] = cand_slot
+
+        # 2. SE3 hypothesis via PnP RANSAC (cur bearings vs candidate-map pts)
+        self._key, sub = jax.random.split(self._key)
+        res = pnp_solve.find_via_ransac(
+            sub, cur_kf.bearings, jnp.asarray(pos), cur_kf.feats.level,
+            jnp.asarray(has), scale_factors=self.scale_factors,
+            min_num_inliers=15,
+        )
+        if not bool(res.valid):
+            return None
+        inl = np.asarray(res.is_inlier) & has
+        if inl.sum() < 15:
+            return None
+
+        # 3. scale estimate from pair-distance ratios between the CURRENT
+        # map's landmark positions and the candidate's (loop_detector Sim3
+        # scale from matched landmark-pair norms); 1.0 when fix_scale
+        if self.fix_scale:
+            scale = 1.0
+        else:
+            cur_pos = np.zeros((n, 3), np.float32)
+            cur_ok = np.zeros(n, bool)
+            for f in np.nonzero(inl)[0]:
+                lm_id = cur_kf.lm_ids[f]
+                if lm_id >= 0:
+                    lm = map_db.landmarks.get(int(lm_id))
+                    if lm is not None and not lm.will_be_erased:
+                        cur_pos[f] = lm.pos_w
+                        cur_ok[f] = True
+            both = np.nonzero(inl & cur_ok)[0]
+            if len(both) >= 8:
+                a = cur_pos[both]
+                b = pos[both]
+                ratios = []
+                for k in range(1, min(len(both), 40)):
+                    da = np.linalg.norm(a[k] - a[0])
+                    db = np.linalg.norm(b[k] - b[0])
+                    if da > 1e-6 and db > 1e-6:
+                        ratios.append(db / da)
+                scale = float(np.median(ratios)) if ratios else 1.0
+            else:
+                scale = 1.0
+
+        # 4. Sim3 refinement with mutual reprojection between the two camera
+        # frames (reference transform_optimizer usage in loop validation).
+        # Frame 1 = current keyframe camera, frame 2 = candidate camera.
+        R_pnp = np.asarray(res.R_cw)  # candidate-map world -> cur camera
+        t_pnp = np.asarray(res.t_cw)
+        # correspondences with positions in BOTH maps
+        cur_pos_all = np.zeros((n, 3), np.float32)
+        cur_ok = np.zeros(n, bool)
+        for f in np.nonzero(inl)[0]:
+            lm_id = cur_kf.lm_ids[f]
+            if lm_id >= 0:
+                lm = map_db.landmarks.get(int(lm_id))
+                if lm is not None and not lm.will_be_erased:
+                    cur_pos_all[f] = lm.pos_w
+                    cur_ok[f] = True
+        both = np.nonzero(inl & cur_ok)[0]
+        if len(both) < 15:
+            return None
+        R_cand, t_cand = cand.rot_cw, cand.trans_cw
+        R_cur, t_cur = cur_kf.rot_cw, cur_kf.trans_cw
+        pts_in_cand = pos[both] @ R_cand.T + t_cand  # cand cam frame
+        pts_in_cur = cur_pos_all[both] @ R_cur.T + t_cur  # cur cam frame
+        obs_cur = cur_kf.h_undist_xy[both]
+        obs_cand = cand.h_undist_xy[src_cand_slot[both]]
+        # initial S_12 (cur <- cand) from the PnP pose:
+        R12 = R_pnp @ R_cand.T
+        t12 = t_pnp - R12 @ t_cand
+        p = self.camera.params
+        resT = sim3_opt.optimize_transform(
+            jnp.float32(1.0), jnp.asarray(R12, dtype=jnp.float32),
+            jnp.asarray(t12, dtype=jnp.float32),
+            jnp.asarray(pts_in_cur), jnp.asarray(pts_in_cand),
+            jnp.asarray(obs_cur), jnp.asarray(obs_cand),
+            jnp.ones(len(both)), jnp.ones(len(both)), jnp.ones(len(both), bool),
+            p.fx, p.fy, p.cx, p.cy, fix_scale=self.fix_scale,
+        )
+        num_inl = int(resT.num_inliers)
+        if num_inl < min(self.num_final_matches_thr, max(15, len(both) // 2)):
+            return None
+
+        # corrected Sim3 cur<-world: S_12_refined o S_cand_w (s=1)
+        s12 = float(resT.s_12)
+        R12r = np.asarray(resT.R_12)
+        t12r = np.asarray(resT.t_12)
+        s_cw = s12
+        R_cw = R12r @ R_cand
+        t_cw = s12 * (R12r @ t_cand) + t12r
+        del scale
+        return cand_id, (s_cw, R_cw, t_cw), src_cand_slot, inl

@@ -22,7 +22,11 @@ from stella_vslam_tpu.data.frame import Frame
 from stella_vslam_tpu.data.map_database import MapDatabase
 from stella_vslam_tpu.feature.orb_extractor import OrbExtractor
 from stella_vslam_tpu.feature.orb_params import OrbParams
+from stella_vslam_tpu.data.bow_database import BowDatabase
+from stella_vslam_tpu.data.bow_vocabulary import BowVocabulary
+from stella_vslam_tpu.global_optimization_module import GlobalOptimizationModule
 from stella_vslam_tpu.mapping_module import MappingModule
+from stella_vslam_tpu.module.relocalizer import Relocalizer
 from stella_vslam_tpu.tracking_module import TrackingModule
 
 
@@ -54,6 +58,27 @@ class System:
         self.tracker.keyfrm_inserter.mapper = self.mapper
         self.mapper.tracker = self.tracker
 
+        # place recognition: matmul-tree vocabulary + inverted index
+        # (replaces the reference's FBoW .fbow file; see data/bow_vocabulary.py)
+        self.bow_vocab = (
+            BowVocabulary.load(vocab_path) if vocab_path else BowVocabulary()
+        )
+        self.bow_db = BowDatabase(self.bow_vocab)
+        self.mapper.bow_db = self.bow_db
+        self.tracker.relocalizer = Relocalizer(
+            self.camera, self.orb_params, self.bow_db,
+            use_fixed_seed=cfg.get("Initializer", "use_fixed_seed", False),
+        )
+        from stella_vslam_tpu.camera.base import Setup as _Setup
+
+        self.global_optimizer = GlobalOptimizationModule(
+            self.map_db, self.camera, self.orb_params, self.bow_db,
+            fix_scale=self.camera.setup != _Setup.MONOCULAR,
+        )
+        self.global_optimizer.mapper = self.mapper
+        self.mapper.global_optimizer = self.global_optimizer
+        self.map_db.on_erase_keyframe.append(self.bow_db.erase_keyframe)
+
         # per-camera jitted preprocessing: undistort + bearings
         cam = self.camera
 
@@ -74,6 +99,7 @@ class System:
             self.tracker.state = "Lost"
         if not self.inline_mapping:
             self.mapper.start()
+            self.global_optimizer.start()
         self._running = True
 
     def shutdown(self):
@@ -82,7 +108,9 @@ class System:
             self._drain_mapper_inline()
         if not self.inline_mapping:
             self.mapper.request_terminate()
+            self.global_optimizer.request_terminate()
             self.mapper.join()
+            self.global_optimizer.join()
         self._running = False
 
     def _drain_mapper_inline(self):
@@ -95,7 +123,7 @@ class System:
                 break
             self.mapper.mapping_with_new_keyframe(kf)
             if self.mapper.global_optimizer is not None:
-                self.mapper.global_optimizer.queue_keyframe(kf)
+                self.mapper.global_optimizer.process_keyframe(kf)
 
     # ------------------------------------------------------------------
     def create_monocular_frame(self, img, timestamp: float, mask=None) -> Frame:
@@ -113,6 +141,37 @@ class System:
         self.track_times.append(time.time() - t0)
         return pose
 
+    def feed_stereo_frame(self, img_left, img_right, timestamp: float, mask=None):
+        """Rectified stereo pair -> row-matched depths -> tracking
+        (reference system.cc:426-470: parallel L/R extraction + stereo match)."""
+        from stella_vslam_tpu.match.stereo import stereo_match
+
+        t0 = time.time()
+        gl = self._to_gray(img_left)
+        gr = self._to_gray(img_right)
+        feats_l, patch_l = self.extractor.extract_with_patches(jnp.asarray(gl))
+        feats_r, patch_r = self.extractor.extract_with_patches(jnp.asarray(gr))
+        p = self.camera.params
+        x_right, depths = stereo_match(
+            feats_l.xy, feats_l.level, feats_l.desc, feats_l.valid, patch_l,
+            feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid, patch_r,
+            scale_factors=jnp.asarray(self.orb_params.scale_factors, dtype=jnp.float32),
+            inv_scale_factors=jnp.asarray(self.orb_params.inv_scale_factors, dtype=jnp.float32),
+            focal_x_baseline=p.focal_x_baseline,
+            true_baseline=jnp.float32(self.camera.true_baseline),
+            num_levels=self.orb_params.num_levels,
+        )
+        und, bear = self._preprocess(feats_l.xy)
+        frm = Frame(
+            timestamp, self.camera, self.orb_params, feats_l, und, bear,
+            x_right=x_right, depths=depths,
+        )
+        pose = self.tracker.feed_frame(frm)
+        if self.inline_mapping:
+            self._drain_mapper_inline()
+        self.track_times.append(time.time() - t0)
+        return pose
+
     def feed_RGBD_frame(self, img, depth, timestamp: float, mask=None):
         t0 = time.time()
         img = self._to_gray(img)
@@ -124,7 +183,8 @@ class System:
         xs = np.clip(xy[:, 0].astype(int), 0, d.shape[1] - 1)
         ys = np.clip(xy[:, 1].astype(int), 0, d.shape[0] - 1)
         depths = d[ys, xs].astype(np.float32)
-        depths = np.where(depths > 0, depths, -1.0)
+        valid_h = np.asarray(feats.valid)
+        depths = np.where(valid_h & (depths > 0), depths, -1.0)
         p = self.camera.params
         und_h = np.asarray(und)
         x_right = np.where(
@@ -164,6 +224,16 @@ class System:
 
     def request_reset(self):
         self.tracker.reset()
+        self.bow_db.clear()
+
+    def enable_loop_detector(self):
+        self.global_optimizer.enable_loop_detector()
+
+    def disable_loop_detector(self):
+        self.global_optimizer.disable_loop_detector()
+
+    def loop_detector_is_enabled(self):
+        return self.global_optimizer.loop_detector_is_enabled()
 
     def pause_other_threads(self):
         self.mapper.request_pause()

@@ -1,0 +1,103 @@
+"""Stereo matching + stereo/RGBD SLAM tests on the synthetic plane world."""
+import numpy as np
+import pytest
+
+from stella_vslam_tpu.config import Config
+from stella_vslam_tpu.system import System
+from tests.synthetic_world import PlaneWorld, lateral_trajectory
+
+BASELINE = 0.12
+
+
+def stereo_cfg(world):
+    cam = world.camera_yaml()
+    cam["setup"] = "stereo"
+    cam["focal_x_baseline"] = world.fx * BASELINE
+    return Config.from_dict(
+        {
+            "Camera": cam,
+            "Feature": {"num_levels": 4},
+            "Preprocessing": {"min_size": 400},
+            "Initializer": {"use_fixed_seed": True},
+        }
+    )
+
+
+def render_pair(world, T):
+    """Left image at T, right image at T shifted by the baseline."""
+    T_r = T.copy()
+    # right camera: x_right_cam = x_left - b => t_r = t + R_row? camera-from-
+    # world: pose_cw_right = T_b * pose_cw_left with T_b = translate(-b, 0, 0)
+    Tb = np.eye(4)
+    Tb[0, 3] = -BASELINE
+    T_r = Tb @ T
+    return world.render(T), world.render(T_r)
+
+
+def test_stereo_depths_accurate():
+    world = PlaneWorld()
+    T = np.eye(4)
+    imgs = render_pair(world, T)
+    slam = System(stereo_cfg(world), inline_mapping=True)
+    slam.startup()
+    slam.feed_stereo_frame(imgs[0], imgs[1], 0.0)
+    slam.tracker.finalize_pending()
+    # first frame creates the instant stereo map
+    assert slam.map_db.num_keyframes() == 1
+    kf = next(iter(slam.map_db.keyframes.values()))
+    d = kf.h_depths
+    good = d[d > 0]
+    assert len(good) > 80, f"only {len(good)} stereo depths"
+    # plane at z = world.depth -> depths close to 4.0
+    frac_close = (np.abs(good - world.depth) < 0.25).mean()
+    assert frac_close > 0.75, f"depth accuracy {frac_close:.2f}"
+    assert abs(np.median(good) - world.depth) < 0.05
+    slam.shutdown()
+
+
+@pytest.mark.slow
+def test_stereo_slam_tracks_metric_scale():
+    world = PlaneWorld()
+    n = 25
+    poses = lateral_trajectory(n, step=0.03)
+    slam = System(stereo_cfg(world), inline_mapping=True)
+    slam.startup()
+    for i, T in enumerate(poses):
+        l, r = render_pair(world, T)
+        slam.feed_stereo_frame(l, r, i * 0.05)
+    slam.shutdown()
+    by_ts = {round(ts / 0.05): pose for (ts, pose, _, _) in slam.frame_poses}
+    tracked = [i for i in range(n) if by_ts.get(i) is not None]
+    assert len(tracked) >= n - 2, f"tracked {len(tracked)}/{n}"
+    # metric scale: estimated translation between first/last tracked frames
+    # must match ground truth WITHOUT alignment (stereo gives true scale)
+    i0, i1 = tracked[0], tracked[-1]
+    c = lambda T: -T[:3, :3].T @ T[:3, 3]
+    est = np.linalg.norm(c(by_ts[i1]) - c(by_ts[i0]))
+    gt = np.linalg.norm(c(poses[i1]) - c(poses[i0]))
+    assert abs(est - gt) / gt < 0.08, f"scale error: est {est:.3f} vs gt {gt:.3f}"
+
+
+def test_rgbd_slam_instant_map():
+    world = PlaneWorld()
+    cam = world.camera_yaml()
+    cam["setup"] = "rgbd"
+    cam["focal_x_baseline"] = world.fx * BASELINE
+    cfg = Config.from_dict(
+        {
+            "Camera": cam,
+            "Feature": {"num_levels": 4},
+            "Preprocessing": {"min_size": 400},
+        }
+    )
+    slam = System(cfg, inline_mapping=True)
+    slam.startup()
+    depth_map = np.full((world.H, world.W), world.depth, np.float32)
+    poses = lateral_trajectory(10, step=0.03)
+    for i, T in enumerate(poses):
+        slam.feed_RGBD_frame(world.render(T), depth_map, i * 0.05)
+    slam.shutdown()
+    assert slam.map_db.num_keyframes() >= 1
+    assert slam.map_db.num_landmarks() > 80
+    tracked = sum(1 for (_, p, _, _) in slam.frame_poses if p is not None)
+    assert tracked >= 8
