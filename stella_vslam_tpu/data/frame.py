@@ -50,6 +50,7 @@ class Frame:
         self.lm_ids = np.full(n, -1, dtype=np.int64)  # landmark id per keypoint
         self.outlier_flags = np.zeros(n, dtype=bool)
         self.pose_cw: Optional[np.ndarray] = None  # 4x4
+        self.markers_2d = {}  # marker id -> Marker2D (reference frame.h markers_2d_)
         self.ref_keyfrm_id: Optional[int] = None
 
         # lazy host mirrors of device tensors

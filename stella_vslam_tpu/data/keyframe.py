@@ -14,7 +14,82 @@ from stella_vslam_tpu.data.frame import Frame
 from stella_vslam_tpu.data.graph_node import GraphNode
 
 
+class _FrameStub:
+    """Host/device storage for keyframes loaded from disk (no source Frame)."""
+
+    def __init__(self, host: dict, device: dict):
+        self._host_cache = host
+        for k, v in device.items():
+            setattr(self, k, v)
+        self.num_slots = len(host["valid"])
+        self.lm_ids = np.full(self.num_slots, -1, dtype=np.int64)
+
+    def _host(self, name, arr):
+        return self._host_cache[name]
+
+    def __getattr__(self, name):
+        # h_xxx accessors resolve to the host cache (mirrors Frame's API)
+        if name.startswith("h_"):
+            try:
+                return self.__dict__["_host_cache"][name[2:]]
+            except KeyError:
+                pass
+        raise AttributeError(name)
+
+
 class Keyframe:
+    @staticmethod
+    def from_payload(map_db, keyfrm_id: int, payload: dict, camera, orb_params):
+        """Rebuild a keyframe from serialized arrays (io/map_database_io):
+        host mirrors + device tensors (uploaded once at load)."""
+        import jax
+        import jax.numpy as jnp
+
+        from stella_vslam_tpu.feature.orb_extractor import FrameFeatures
+
+        xy = np.asarray(payload["keypts"], np.float32)
+        n = len(xy)
+        host = {
+            "xy": xy,
+            "undist_xy": np.asarray(payload["undist_keypts"], np.float32),
+            "angle": np.asarray(payload["angles"], np.float32),
+            "level": np.asarray(payload["levels"], np.int32),
+            "valid": np.asarray(payload["valid"], bool),
+            "desc": np.asarray(payload["descs"], np.uint32),
+            "x_right": np.asarray(payload["x_rights"], np.float32),
+            "depths": np.asarray(payload["depths"], np.float32),
+            "response": np.zeros(n, np.float32),
+        }
+        und_d = jax.device_put(host["undist_xy"])
+        bearings = camera.bearings(und_d)
+        host["bearings"] = np.asarray(bearings)
+        feats = FrameFeatures(
+            xy=jax.device_put(host["xy"]),
+            response=jax.device_put(host["response"]),
+            angle=jax.device_put(host["angle"]),
+            level=jax.device_put(host["level"]),
+            valid=jax.device_put(host["valid"]),
+            desc=jax.device_put(host["desc"]),
+        )
+        stub = _FrameStub(
+            host,
+            {
+                "feats": feats,
+                "undist_xy": und_d,
+                "bearings": bearings,
+                "x_right": jax.device_put(host["x_right"]),
+                "depths": jax.device_put(host["depths"]),
+            },
+        )
+        stub.pose_cw = np.asarray(payload["pose_cw"], np.float64).reshape(4, 4)
+        stub.timestamp = payload["ts"]
+        stub.camera = camera
+        stub.orb_params = orb_params
+        stub.id = payload.get("src_frm_id", -1)
+        kf = Keyframe(stub, map_db, keyfrm_id=keyfrm_id)
+        kf.lm_ids = np.asarray(payload["lm_ids"], np.int64)
+        return kf
+
     def __init__(self, frame: Frame, map_db, keyfrm_id: Optional[int] = None):
         self.id = map_db.next_keyframe_id() if keyfrm_id is None else keyfrm_id
         self.src_frm_id = frame.id

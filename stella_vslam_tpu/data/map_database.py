@@ -114,6 +114,7 @@ class MapDatabase:
         self.device_table = DeviceLandmarkTable(device_table_capacity)
         self.local_landmark_ids: list = []
         self.on_erase_keyframe: list = []  # callbacks(kf_id)
+        self.markers: Dict[int, object] = {}  # fiducial markers (data/marker)
 
     # ---- id allocation ----
     def next_keyframe_id(self) -> int:

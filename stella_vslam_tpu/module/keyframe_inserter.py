@@ -27,6 +27,7 @@ class KeyframeInserter:
         self.ratio_view_changed = lms_ratio_thr_view_changed
         self.enough_lms_thr = enough_lms_thr
         self.mapper = None  # set by system
+        self.marker_hook = None  # set by system when markers are configured
 
     def new_keyframe_is_needed(self, map_db, cur_frm: Frame, num_tracked: int,
                                last_inserted_time: float, ref_keyfrm) -> bool:
@@ -88,6 +89,9 @@ class KeyframeInserter:
         if self.camera.setup != Setup.MONOCULAR:
             self._seed_depth_landmarks(map_db, kf)
 
+        # marker registration (reference keyframe_inserter.cc:138-153)
+        if self.marker_hook is not None:
+            self.marker_hook(map_db, kf, cur_frm)
         kf.graph_node.update_connections(map_db)
         if self.mapper is not None:
             self.mapper.async_add_keyframe(kf)

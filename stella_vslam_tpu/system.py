@@ -89,6 +89,27 @@ class System:
 
         self._preprocess = _preprocess
 
+        # fiducial markers (reference marker_detector/aruco, MarkerModel yaml)
+        self.marker_detector = None
+        mm = cfg.section("MarkerModel")
+        if mm:
+            from stella_vslam_tpu.marker.marker import MarkerInitializer
+            from stella_vslam_tpu.marker.marker_detector import MarkerDetector
+            from stella_vslam_tpu.marker.marker_model import MarkerModel
+
+            self.marker_model = MarkerModel.from_yaml(mm)
+            self.marker_detector = MarkerDetector(self.camera, self.marker_model)
+            self.marker_initializer = MarkerInitializer()
+            self.tracker.keyfrm_inserter.marker_hook = self._register_markers
+
+        # publishers (reference publish/frame_publisher, map_publisher)
+        from stella_vslam_tpu.publish.frame_publisher import FramePublisher
+        from stella_vslam_tpu.publish.map_publisher import MapPublisher
+
+        self.frame_publisher = FramePublisher()
+        self.map_publisher = MapPublisher(self.map_db)
+        self.map_io = None  # created lazily per format
+
         # stats
         self.track_times = []
         self._running = False
@@ -130,7 +151,21 @@ class System:
         img = self._to_gray(img)
         feats = self.extractor.extract(jnp.asarray(img), mask)
         und, bear = self._preprocess(feats.xy)
-        return Frame(timestamp, self.camera, self.orb_params, feats, und, bear)
+        frm = Frame(timestamp, self.camera, self.orb_params, feats, und, bear)
+        if self.marker_detector is not None:
+            frm.markers_2d = self.marker_detector.detect(img)
+        return frm
+
+    def _register_markers(self, map_db, kf, frm):
+        from stella_vslam_tpu.marker.marker import Marker
+
+        for mid, m2d in frm.markers_2d.items():
+            mk = map_db.markers.get(mid)
+            if mk is None:
+                mk = Marker(mid, self.marker_model)
+                map_db.markers[mid] = mk
+            mk.add_observation(kf.id, m2d)
+            self.marker_initializer.check_marker_initialization(mk, map_db)
 
     def feed_monocular_frame(self, img, timestamp: float, mask=None):
         t0 = time.time()
@@ -139,7 +174,17 @@ class System:
         if self.inline_mapping:
             self._drain_mapper_inline()
         self.track_times.append(time.time() - t0)
+        self._publish(img, frm, pose)
         return pose
+
+    def _publish(self, img, frm, pose):
+        self.frame_publisher.update(
+            img, frm.h_xy[frm.h_valid], (frm.lm_ids >= 0)[frm.h_valid],
+            self.tracker.state,
+            tracking_time_ms=self.track_times[-1] * 1000.0,
+        )
+        if pose is not None:
+            self.map_publisher.set_current_cam_pose(pose)
 
     def feed_stereo_frame(self, img_left, img_right, timestamp: float, mask=None):
         """Rectified stereo pair -> row-matched depths -> tracking
@@ -235,6 +280,39 @@ class System:
     def loop_detector_is_enabled(self):
         return self.global_optimizer.loop_detector_is_enabled()
 
+    def relocalize_by_pose(self, pose_cw: np.ndarray) -> bool:
+        """External pose-hint recovery: find keyframes near the given pose and
+        retry tracking from there (reference system.cc:604-624 +
+        map_database get_close_keyframes)."""
+        close = self.map_db.get_close_keyframes(
+            np.asarray(pose_cw), distance_thr=2.0, angle_thr=np.deg2rad(45.0)
+        )
+        if not close:
+            return False
+        self.tracker.ref_keyfrm_id = close[0].id
+        self.tracker.state = "Lost"
+        self.tracker.twist = None
+        return True
+
+    def relocalize_by_pose_2d(self, pose_cw: np.ndarray, normal: np.ndarray) -> bool:
+        close = self.map_db.get_close_keyframes_2d(
+            np.asarray(pose_cw), np.asarray(normal),
+            distance_thr=2.0, angle_thr=np.deg2rad(45.0),
+        )
+        if not close:
+            return False
+        self.tracker.ref_keyfrm_id = close[0].id
+        self.tracker.state = "Lost"
+        self.tracker.twist = None
+        return True
+
+    def enable_temporal_mapping(self):
+        """Freeze pre-loaded keyframes; new keyframes become ephemeral
+        (reference system.cc:364-366, map_database.h:361-362 +
+        mapping_module temporal eviction)."""
+        self.map_db.fixed_keyframe_id_threshold = self.map_db.max_keyframe_id()
+        self.tracker.mapping_is_enabled = True
+
     def pause_other_threads(self):
         self.mapper.request_pause()
         while not self.mapper.is_paused() and self.mapper._thread and self.mapper._thread.is_alive():
@@ -247,11 +325,42 @@ class System:
     # trajectory export (reference io/trajectory_io.cc)
     @property
     def frame_poses(self):
-        """Finalized per-frame results: (timestamp, pose_cw|None, ref_kf, id)."""
-        return [
-            (ts, pose, ref, fid)
-            for (fid, ts, pose, ref) in self.tracker.finalized
-        ]
+        """Finalized per-frame results: (timestamp, pose_cw|None, ref_kf, id).
+        Poses are reconstructed from the stored relative-to-reference-keyframe
+        transforms when available, so keyframe refinements (local/global BA,
+        loop closure) propagate into the exported trajectory
+        (reference frame_statistics + trajectory_io)."""
+        out = []
+        for entry in self.tracker.finalized:
+            fid, ts, pose, ref, rel = entry
+            if pose is not None and rel is not None and ref is not None:
+                kf = self.map_db.keyframes.get(ref)
+                if kf is not None:
+                    pose = rel @ kf.pose_cw
+            out.append((ts, pose, ref, fid))
+        return out
+
+    # ------------------------------------------------------------------
+    # map save/load (reference system.cc:236-298)
+    def save_map_database(self, path: str, fmt: str = None):
+        from stella_vslam_tpu.io.map_database_io import create_map_database_io
+
+        fmt = fmt or self.cfg.get("System", "map_format", "msgpack")
+        self.pause_other_threads()
+        try:
+            create_map_database_io(fmt).save(path, self)
+        finally:
+            self.resume_other_threads()
+
+    def load_map_database(self, path: str, fmt: str = None):
+        from stella_vslam_tpu.io.map_database_io import create_map_database_io
+
+        fmt = fmt or self.cfg.get("System", "map_format", "msgpack")
+        self.pause_other_threads()
+        try:
+            create_map_database_io(fmt).load(path, self)
+        finally:
+            self.resume_other_threads()
 
     def save_frame_trajectory(self, path: str, fmt: str = "TUM"):
         from stella_vslam_tpu.io.trajectory_io import save_frame_trajectory

@@ -103,7 +103,7 @@ class TrackingModule:
             self.last_frm = frm
             self.finalized.append(
                 (frm.id, frm.timestamp,
-                 frm.pose_cw.copy() if ok else None, frm.ref_keyfrm_id)
+                 frm.pose_cw.copy() if ok else None, frm.ref_keyfrm_id, None)
             )
             return frm.pose_cw if ok else None
 
@@ -112,7 +112,7 @@ class TrackingModule:
             self.last_frm = frm
             self.finalized.append(
                 (frm.id, frm.timestamp,
-                 frm.pose_cw.copy() if ok else None, frm.ref_keyfrm_id)
+                 frm.pose_cw.copy() if ok else None, frm.ref_keyfrm_id, None)
             )
             if ok:
                 self.state = STATE_TRACKING
@@ -250,12 +250,19 @@ class TrackingModule:
                 self.ref_keyfrm_id = kf.id
                 self.last_keyfrm_time = frm.timestamp
         frm.ref_keyfrm_id = self.ref_keyfrm_id
+        # frame statistics: relative pose to the reference keyframe so the
+        # exported trajectory benefits from later keyframe-pose refinement
+        # (reference data/frame_statistics + io/trajectory_io.cc:20-60)
+        rel = None
+        ref = self.map_db.keyframes.get(self.ref_keyfrm_id)
+        if ref is not None:
+            rel = frm.pose_cw @ np.linalg.inv(ref.pose_cw)
         self.finalized.append(
-            (frm.id, frm.timestamp, frm.pose_cw.copy(), frm.ref_keyfrm_id)
+            (frm.id, frm.timestamp, frm.pose_cw.copy(), frm.ref_keyfrm_id, rel)
         )
 
     def _on_lost(self, frm: Frame):
-        self.finalized.append((frm.id, frm.timestamp, None, frm.ref_keyfrm_id))
+        self.finalized.append((frm.id, frm.timestamp, None, frm.ref_keyfrm_id, None))
         if frm.timestamp - self.init_time < 5.0 and self.mapping_is_enabled \
                 and self.camera.setup == Setup.MONOCULAR:
             self.reset()
