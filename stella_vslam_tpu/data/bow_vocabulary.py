@@ -47,6 +47,22 @@ class BowVocabulary:
             self.centers.append(c)
         self._centers_dev = None
         self.num_words = K_BRANCH**DEPTH
+        self._content_hash = None
+
+    def __hash__(self):
+        # content-hash: vocabulary instances are static jit args and the
+        # centers are baked into the compiled transform as constants
+        if self._content_hash is None:
+            import hashlib
+
+            h = hashlib.sha1()
+            for c in self.centers:
+                h.update(np.ascontiguousarray(c).tobytes())
+            self._content_hash = int.from_bytes(h.digest()[:8], "little")
+        return self._content_hash
+
+    def __eq__(self, other):
+        return type(other) is type(self) and hash(other) == hash(self)
 
     def _dev_centers(self):
         if self._centers_dev is None:
@@ -121,6 +137,7 @@ class BowVocabulary:
             child = sims[np.arange(len(pm1)), assign_parent].argmax(-1)
             assign_parent = assign_parent * K_BRANCH + child
         self._centers_dev = None  # refresh device copies
+        self._content_hash = None
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -143,4 +160,5 @@ class BowVocabulary:
         data = np.load(path)
         v.centers = [data[f"level_{i}"] for i in range(DEPTH)]
         v._centers_dev = None
+        v._content_hash = None
         return v

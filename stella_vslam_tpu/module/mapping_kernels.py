@@ -33,11 +33,23 @@ class TriangulationResult(NamedTuple):
 
 
 class MappingKernels:
+    """Hash/eq by configuration — see TrackingKernels (static jit args)."""
+
     def __init__(self, camera, orb_params):
         self.camera = camera
         self.orb = orb_params
         self.scale_factors = jnp.asarray(orb_params.scale_factors, dtype=jnp.float32)
         self.level_sigma_sq = jnp.asarray(orb_params.level_sigma_sq, dtype=jnp.float32)
+        self._config_key = (
+            tuple(sorted(camera.to_json().items())),
+            tuple(orb_params.scale_factors), orb_params.num_levels,
+        )
+
+    def __hash__(self):
+        return hash(self._config_key)
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other._config_key == self._config_key
 
     @partial(jax.jit, static_argnames=("self",))
     def triangulate_pair(

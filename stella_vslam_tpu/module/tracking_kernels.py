@@ -76,7 +76,12 @@ def make_cam_scalars(camera) -> CamScalars:
 
 
 class TrackingKernels:
-    """Holds jitted programs specialized to (camera, orb_params, slot count)."""
+    """Holds jitted programs specialized to (camera, orb_params, slot count).
+
+    Instances hash/compare by CONFIGURATION (not identity): these objects are
+    passed as static jit arguments, and identity hashing would recompile every
+    program for every new System instance (measured: minutes per compile on
+    the remote-compile stack)."""
 
     def __init__(self, camera, orb_params, margin_last: float = 20.0,
                  margin_local: float = 5.0, margin_local_unstable: float = 20.0,
@@ -92,6 +97,20 @@ class TrackingKernels:
         self.margin_local = margin_local
         self.margin_local_unstable = margin_local_unstable
         self.num_matches_thr = num_matches_thr
+        self._config_key = (
+            tuple(sorted(camera.to_json().items())),
+            tuple(orb_params.scale_factors), orb_params.num_levels,
+            margin_last, margin_local, margin_local_unstable, num_matches_thr,
+        )
+
+    def __hash__(self):
+        return hash(self._config_key)
+
+    def __eq__(self, other):
+        return (
+            type(other) is type(self)
+            and other._config_key == self._config_key
+        )
 
     # ------------------------------------------------------------------
     def _pose_opt(self, R0, t0, pos, uv, xr, level, has):
