@@ -28,17 +28,12 @@ class GraphNode:
         threshold (or at least the best one) and mirror the edges
         (reference graph_node.cc update_connections)."""
         kf = self.owner
-        counts: Dict[int, int] = {}
-        for lm_id in kf.lm_ids:
-            if lm_id < 0:
-                continue
-            lm = map_db.landmarks.get(int(lm_id))
-            if lm is None or lm.will_be_erased:
-                continue
-            for other_id in lm.observations.keys():
-                if other_id == kf.id:
-                    continue
-                counts[other_id] = counts.get(other_id, 0) + 1
+        # covisibility counting in the native map core (mapcore.cpp)
+        kf_ids, cnts = map_db.assoc_store.covis_counts(kf.lm_ids, kf.id)
+        counts: Dict[int, int] = {
+            int(k): int(c) for k, c in zip(kf_ids, cnts)
+            if int(k) in map_db.keyframes
+        }
         if not counts:
             return
         best_id = max(counts, key=lambda k: (counts[k], -k))

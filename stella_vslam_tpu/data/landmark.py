@@ -37,12 +37,18 @@ class Landmark:
         self.first_keyfrm_id = int(ref_keyfrm_id)
         self.num_observations_when_created = 0
 
-    # ---- observations ----
+    # ---- observations (mirrored into the native association store) ----
     def add_observation(self, keyfrm_id: int, idx: int):
         self.observations[keyfrm_id] = idx
+        store = getattr(self, "_store", None)
+        if store is not None:
+            store.add(self.id, keyfrm_id, idx)
 
     def erase_observation(self, keyfrm_id: int):
         self.observations.pop(keyfrm_id, None)
+        store = getattr(self, "_store", None)
+        if store is not None:
+            store.erase(self.id, keyfrm_id)
         if self.ref_keyfrm_id == keyfrm_id and self.observations:
             self.ref_keyfrm_id = next(iter(self.observations))
 
@@ -65,9 +71,14 @@ class Landmark:
         if not descs:
             return
         D = np.stack(descs)
-        dist = _hamming_np(D[:, None, :], D[None, :, :])
-        medians = np.median(dist, axis=1)
-        self.descriptor = D[int(np.argmin(medians))].copy()
+        if len(D) > 2:
+            from stella_vslam_tpu.native.assoc_store import median_hamming_descriptor
+
+            self.descriptor = D[median_hamming_descriptor(D)].copy()
+        else:
+            dist = _hamming_np(D[:, None, :], D[None, :, :])
+            medians = np.median(dist, axis=1)
+            self.descriptor = D[int(np.argmin(medians))].copy()
 
     def update_mean_normal_and_obs_scale_variance(self, map_db):
         """reference landmark.cc update_mean_normal_and_obs_scale_variance."""

@@ -115,6 +115,10 @@ class MapDatabase:
         self.local_landmark_ids: list = []
         self.on_erase_keyframe: list = []  # callbacks(kf_id)
         self.markers: Dict[int, object] = {}  # fiducial markers (data/marker)
+        # native association store (C++ map core, native/mapcore.cpp)
+        from stella_vslam_tpu.native.assoc_store import AssocStore
+
+        self.assoc_store = AssocStore()
 
     # ---- id allocation ----
     def next_keyframe_id(self) -> int:
@@ -137,6 +141,9 @@ class MapDatabase:
     def add_landmark(self, lm: Landmark):
         with self.lock:
             self.landmarks[lm.id] = lm
+            lm._store = self.assoc_store
+            for kf_id, idx in lm.observations.items():
+                self.assoc_store.add(lm.id, kf_id, idx)
 
     def erase_landmark(self, lm_id: int):
         with self.lock:
@@ -148,6 +155,7 @@ class MapDatabase:
                 kf = self.keyframes.get(kf_id)
                 if kf is not None and kf.lm_ids[idx] == lm_id:
                     kf.lm_ids[idx] = -1
+            self.assoc_store.erase_landmark(lm_id)
 
     def erase_keyframe(self, kf_id: int):
         with self.lock:
@@ -187,6 +195,7 @@ class MapDatabase:
             old.will_be_erased = True
             old.replaced_id = new.id
             self.landmarks.pop(old.id, None)
+            self.assoc_store.erase_landmark(old.id)
             new.compute_descriptor(self)
             new.update_mean_normal_and_obs_scale_variance(self)
 
@@ -247,6 +256,7 @@ class MapDatabase:
             self.landmarks.clear()
             self.origin_keyfrm_id = None
             self.local_landmark_ids = []
+            self.assoc_store.clear()
 
     def to_json(self, cameras: dict, orb_params: dict) -> dict:
         with self.lock:

@@ -337,31 +337,31 @@ class GlobalOptimizationModule:
                 )
             lm_pos = np.zeros((L, 3), np.float32)
             lm_valid = np.zeros(L, bool)
-            obs_cam = np.zeros((L, D), np.int32)
+            for l, lm_id in enumerate(lm_ids):
+                lm_pos[l] = map_db.landmarks[lm_id].pos_w
+                lm_valid[l] = True
+            lm_ids_arr = np.asarray(
+                list(lm_ids) + [-1] * (L - len(lm_ids)), np.int64
+            )
+            obs_cam, obs_idx, obs_valid = map_db.assoc_store.assemble_ba(
+                lm_ids_arr, np.asarray(kf_ids, np.int64),
+                np.arange(len(kf_ids), dtype=np.int32), D,
+            )
             obs_uv = np.zeros((L, D, 2), np.float32)
             obs_xr = np.full((L, D), -1.0, np.float32)
             obs_w = np.ones((L, D), np.float32)
-            obs_valid = np.zeros((L, D), bool)
-            for l, lm_id in enumerate(lm_ids):
-                lm = map_db.landmarks[lm_id]
-                lm_pos[l] = lm.pos_w
-                lm_valid[l] = True
-                d = 0
-                for kf_id, idx in lm.observations.items():
-                    if d >= D:
-                        break
-                    s = slot_of.get(kf_id)
-                    if s is None:
-                        continue
-                    kf = map_db.keyframes.get(kf_id)
-                    if kf is None:
-                        continue
-                    obs_cam[l, d] = s
-                    obs_uv[l, d] = kf.h_undist_xy[idx]
-                    obs_xr[l, d] = kf.h_x_right[idx]
-                    obs_w[l, d] = inv_sigma[int(kf.h_level[idx])]
-                    obs_valid[l, d] = True
-                    d += 1
+            for s, kf_id in enumerate(kf_ids):
+                kf = map_db.keyframes.get(kf_id)
+                if kf is None:
+                    obs_valid[obs_cam == s] = False
+                    continue
+                rows, ds = np.nonzero((obs_cam == s) & obs_valid)
+                if len(rows) == 0:
+                    continue
+                idxs = obs_idx[rows, ds]
+                obs_uv[rows, ds] = kf.h_undist_xy[idxs]
+                obs_xr[rows, ds] = kf.h_x_right[idxs]
+                obs_w[rows, ds] = inv_sigma[kf.h_level[idxs]]
         prob = ba_mod.BAProblem(
             cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
             cam_fixed=jnp.asarray(cam_fixed), cam_valid=jnp.asarray(cam_valid),

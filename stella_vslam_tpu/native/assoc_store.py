@@ -1,0 +1,94 @@
+"""Python-facing wrapper over the native association store (see native/mapcore.cpp)."""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from stella_vslam_tpu.native.build import load_mapcore
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_u32p = ctypes.POINTER(ctypes.c_uint32)
+
+
+def _p64(a):
+    return a.ctypes.data_as(_i64p)
+
+
+def _p32(a):
+    return a.ctypes.data_as(_i32p)
+
+
+class AssocStore:
+    """Landmark <-> keyframe observation store (native). Holds the
+    authoritative (lm_id -> [(kf_id, keypoint idx)]) relation consumed by
+    covisibility updates and BA assembly."""
+
+    def __init__(self):
+        self._lib = load_mapcore()
+        self._h = ctypes.c_void_p(self._lib.store_create())
+
+    def __del__(self):
+        try:
+            self._lib.store_destroy(self._h)
+        except Exception:
+            pass
+
+    def clear(self):
+        self._lib.store_clear(self._h)
+
+    def add(self, lm_id: int, kf_id: int, idx: int):
+        self._lib.store_add_obs(self._h, lm_id, kf_id, idx)
+
+    def erase(self, lm_id: int, kf_id: int) -> int:
+        return int(self._lib.store_erase_obs(self._h, lm_id, kf_id))
+
+    def erase_landmark(self, lm_id: int):
+        self._lib.store_erase_landmark(self._h, lm_id)
+
+    def num_obs(self, lm_id: int) -> int:
+        return int(self._lib.store_num_obs(self._h, lm_id))
+
+    def get_obs(self, lm_id: int, cap: int = 256):
+        kf = np.empty(cap, np.int64)
+        idx = np.empty(cap, np.int32)
+        n = self._lib.store_get_obs(self._h, lm_id, _p64(kf), _p32(idx), cap)
+        return kf[:n], idx[:n]
+
+    def covis_counts(self, lm_ids: np.ndarray, self_kf_id: int, cap: int = 4096):
+        lm_ids = np.ascontiguousarray(lm_ids, np.int64)
+        out_kf = np.empty(cap, np.int64)
+        out_cnt = np.empty(cap, np.int32)
+        n = self._lib.store_covis_counts(
+            self._h, _p64(lm_ids), len(lm_ids), self_kf_id,
+            _p64(out_kf), _p32(out_cnt), cap,
+        )
+        return out_kf[:n], out_cnt[:n]
+
+    def assemble_ba(self, lm_ids: np.ndarray, kf_ids: np.ndarray,
+                    kf_slots: np.ndarray, D: int):
+        L = len(lm_ids)
+        lm_ids = np.ascontiguousarray(lm_ids, np.int64)
+        kf_ids = np.ascontiguousarray(kf_ids, np.int64)
+        kf_slots = np.ascontiguousarray(kf_slots, np.int32)
+        obs_cam = np.empty((L, D), np.int32)
+        obs_idx = np.empty((L, D), np.int32)
+        obs_valid = np.empty((L, D), np.uint8)
+        self._lib.store_assemble_ba(
+            self._h, _p64(lm_ids), L, _p64(kf_ids), _p32(kf_slots),
+            len(kf_ids), D, _p32(obs_cam), _p32(obs_idx),
+            obs_valid.ctypes.data_as(_u8p),
+        )
+        return obs_cam, obs_idx, obs_valid.astype(bool)
+
+
+def median_hamming_descriptor(descs: np.ndarray) -> int:
+    """Index of the descriptor minimizing the median Hamming distance
+    (reference landmark.cc compute_descriptor)."""
+    lib = load_mapcore()
+    descs = np.ascontiguousarray(descs, np.uint32)
+    return int(
+        lib.median_hamming_descriptor(descs.ctypes.data_as(_u32p), len(descs))
+    )
