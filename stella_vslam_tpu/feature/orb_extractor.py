@@ -230,7 +230,7 @@ class OrbExtractor:
             Gx = max(int(math.ceil(span_x / cell)), 1)
             Gy = max(int(math.ceil(span_y / cell)), 1)
             cs = int(math.ceil(max(span_x / Gx, span_y / Gy)))
-            assert cs <= 31, "packed-key NMS assumes cell size <= 31 px"
+            assert cs <= 63, "packed-key NMS supports cell size <= 63 px (min_size <= ~4000)"
             self.levels.append(_LevelGeom(H_l, W_l, cs, Gy, Gx, s))
 
         self.num_slots = sum(g.Gy * g.Gx for g in self.levels)
@@ -310,9 +310,9 @@ class OrbExtractor:
         # pack (score, row-in-cell, col-in-cell) into one int32 key
         row_in = (ys - b) % g.cs
         col_in = (xs - b) % g.cs
-        key_payload = (row_in << 5) | col_in
-        key_lo = jnp.where(corner_lo, (iscore << 10) | key_payload, -1)
-        key_hi = jnp.where(corner_lo & corner_hi, (iscore << 10) | key_payload, -1)
+        key_payload = (row_in << 6) | col_in  # 6 bits each: cells up to 63px
+        key_lo = jnp.where(corner_lo, (iscore << 12) | key_payload, -1)
+        key_hi = jnp.where(corner_lo & corner_hi, (iscore << 12) | key_payload, -1)
 
         need_h, need_w = b + g.Gy * g.cs, b + g.Gx * g.cs
 
@@ -332,11 +332,11 @@ class OrbExtractor:
 
         cy = jax.lax.broadcasted_iota(jnp.int32, (g.Gy, g.Gx), 0)
         cx = jax.lax.broadcasted_iota(jnp.int32, (g.Gy, g.Gx), 1)
-        py = (b + cy * g.cs + ((best >> 5) & 31)).reshape(-1)
-        px = (b + cx * g.cs + (best & 31)).reshape(-1)
+        py = (b + cy * g.cs + ((best >> 6) & 63)).reshape(-1)
+        px = (b + cx * g.cs + (best & 63)).reshape(-1)
         py = jnp.clip(py, 0, g.H - 1)
         px = jnp.clip(px, 0, g.W - 1)
-        resp = jnp.where(valid, (best.reshape(-1) >> 10).astype(jnp.float32), 0.0)
+        resp = jnp.where(valid, (best.reshape(-1) >> 12).astype(jnp.float32), 0.0)
 
         # ---- raw 45x45 patches at winners (one-hot bf16 contractions) ----
         patch_raw = self._extract_patches(img, px, py, g)  # [K, _RAW_AREA] f32

@@ -130,8 +130,29 @@ class MappingModule:
         cur.graph_node.update_connections(map_db)
         if self.enable_local_ba and map_db.num_keyframes() > 2 and not self.is_skipping_localBA():
             self.local_bundle_adjustment(cur)
+        self.remove_temporal_keyframes(cur)
         self.cleaner.remove_redundant_keyframes(map_db, cur)
         map_db.refresh_device_table()
+
+    # ------------------------------------------------------------------
+    def remove_temporal_keyframes(self, cur: Keyframe,
+                                  max_ephemeral_keyframes: int = 15):
+        """Temporal mapping: when a fixed-keyframe threshold is set (map was
+        pre-loaded with enable_temporal_mapping), newly created keyframes are
+        ephemeral — keep only the most recent ones
+        (reference mapping_module.cc:210-237 queue-based eviction)."""
+        map_db = self.map_db
+        thr = map_db.fixed_keyframe_id_threshold
+        if thr < 0:
+            return
+        ephemeral = sorted(
+            k for k in map_db.keyframes
+            if k > thr and k != cur.id and not map_db.keyframes[k].will_be_erased
+        )
+        for k in ephemeral[:-max_ephemeral_keyframes] if len(ephemeral) > max_ephemeral_keyframes else []:
+            kf = map_db.keyframes.get(k)
+            if kf is not None and kf.can_be_erased():
+                map_db.erase_keyframe(k)
 
     # ------------------------------------------------------------------
     def create_new_landmarks(self, cur: Keyframe):
@@ -140,11 +161,9 @@ class MappingModule:
         if not covis:
             return
         median_depth = cur.compute_median_depth(map_db, use_abs=True)
-        cur_unassoc = jnp.asarray((cur.lm_ids < 0)) & cur.feats.valid
-        cur_is_stereo = cur.x_right > 0
+        # eligible neighbors after the baseline check (mapping_module.cc:286-300)
+        neighbors = []
         for other_id in covis:
-            if self.keyframe_is_queued():
-                return  # abort on backpressure (mapping_module.cc:166-180)
             other = map_db.keyframes.get(other_id)
             if other is None or other.will_be_erased:
                 continue
@@ -155,38 +174,53 @@ class MappingModule:
             else:
                 if baseline < self.camera.true_baseline:
                     continue
-            other_unassoc = jnp.asarray((other.lm_ids < 0)) & other.feats.valid
-            res = self.kernels.triangulate_pair(
-                cur.undist_xy, cur.feats.level, cur.feats.desc, cur.bearings,
-                cur.feats.angle, cur_unassoc, cur_is_stereo, cur.x_right,
-                other.undist_xy, other.feats.level, other.feats.desc,
-                other.bearings, other.feats.angle, other_unassoc,
-                other.x_right > 0, other.x_right,
-                jnp.asarray(cur.rot_cw, dtype=jnp.float32),
-                jnp.asarray(cur.trans_cw, dtype=jnp.float32),
-                jnp.asarray(other.rot_cw, dtype=jnp.float32),
-                jnp.asarray(other.trans_cw, dtype=jnp.float32),
-            )
-            ok = np.asarray(res.ok)
-            if not ok.any():
-                continue
-            pos = np.asarray(res.pos_w)
-            idx2 = np.asarray(res.idx2)
-            with map_db.lock:
+            neighbors.append(other)
+        if not neighbors:
+            return
+        B = 5
+        neighbors = neighbors[:B]
+        pair_valid = np.zeros(B, bool)
+        pair_valid[: len(neighbors)] = True
+        padded = neighbors + [neighbors[0]] * (B - len(neighbors))
+        cur_unassoc = jnp.asarray((cur.lm_ids < 0)) & cur.feats.valid
+        cur_is_stereo = cur.x_right > 0
+        stack = lambda f: jnp.stack([f(o) for o in padded])
+        res = self.kernels.triangulate_multi(
+            cur.undist_xy, cur.feats.level, cur.feats.desc, cur.bearings,
+            cur.feats.angle, cur_unassoc, cur_is_stereo, cur.x_right,
+            stack(lambda o: o.undist_xy), stack(lambda o: o.feats.level),
+            stack(lambda o: o.feats.desc), stack(lambda o: o.bearings),
+            stack(lambda o: o.feats.angle),
+            stack(lambda o: jnp.asarray(o.lm_ids < 0) & o.feats.valid),
+            stack(lambda o: o.x_right > 0), stack(lambda o: o.x_right),
+            jnp.asarray(cur.rot_cw, dtype=jnp.float32),
+            jnp.asarray(cur.trans_cw, dtype=jnp.float32),
+            stack(lambda o: jnp.asarray(o.rot_cw, dtype=jnp.float32)),
+            stack(lambda o: jnp.asarray(o.trans_cw, dtype=jnp.float32)),
+            jnp.asarray(pair_valid),
+        )
+        ok_all = np.asarray(res.ok)
+        pos_all = np.asarray(res.pos_w)
+        idx2_all = np.asarray(res.idx2)
+        with map_db.lock:
+            for b, other in enumerate(neighbors):
+                ok = ok_all[b]
+                if not ok.any():
+                    continue
                 for i in np.nonzero(ok)[0]:
-                    if cur.lm_ids[i] >= 0 or other.lm_ids[idx2[i]] >= 0:
+                    # a slot may have been claimed by an earlier neighbor
+                    if cur.lm_ids[i] >= 0 or other.lm_ids[idx2_all[b, i]] >= 0:
                         continue
-                    lm = Landmark(map_db.next_landmark_id(), pos[i], cur.id)
+                    lm = Landmark(map_db.next_landmark_id(), pos_all[b, i], cur.id)
                     lm.first_keyfrm_id = cur.id
-                    lm.add_observation(cur.id, int(i))
-                    lm.add_observation(other_id, int(idx2[i]))
-                    cur.add_landmark(lm.id, int(i))
-                    other.add_landmark(lm.id, int(idx2[i]))
                     map_db.add_landmark(lm)
+                    lm.add_observation(cur.id, int(i))
+                    lm.add_observation(other.id, int(idx2_all[b, i]))
+                    cur.add_landmark(lm.id, int(i))
+                    other.add_landmark(lm.id, int(idx2_all[b, i]))
                     lm.compute_descriptor(map_db)
                     lm.update_mean_normal_and_obs_scale_variance(map_db)
                     self.cleaner.add_fresh_landmark(lm.id)
-            cur_unassoc = jnp.asarray((cur.lm_ids < 0)) & cur.feats.valid
 
     # ------------------------------------------------------------------
     def fuse_landmark_duplication(self, cur: Keyframe):
@@ -229,36 +263,52 @@ class MappingModule:
     def _fuse_into(self, map_db, keyframes, lm_list, margin: float = 3.0):
         if not lm_list:
             return
+        keyframes = [
+            kf for kf in keyframes if kf is not None and not kf.will_be_erased
+        ]
+        if not keyframes:
+            return
+        # pad the keyframe batch to fixed sizes (4/8/16) to bound recompiles
+        Bpad = 4
+        while Bpad < len(keyframes):
+            Bpad *= 2
+        kf_batch_valid = np.zeros(Bpad, bool)
+        kf_batch_valid[: len(keyframes)] = True
+        padded_kfs = keyframes + [keyframes[0]] * (Bpad - len(keyframes))
         lm_pos = np.array([lm.pos_w for _, lm in lm_list], np.float32)
         lm_desc = np.stack([lm.descriptor for _, lm in lm_list])
         lm_dmin = np.array([lm.min_valid_dist for _, lm in lm_list], np.float32)
         lm_dmax = np.array([lm.max_valid_dist for _, lm in lm_list], np.float32)
         lm_norm = np.array([lm.mean_normal for _, lm in lm_list], np.float32)
-        lm_pos_d = jnp.asarray(lm_pos)
-        lm_desc_d = jnp.asarray(lm_desc)
-        for kf in keyframes:
-            if kf is None or kf.will_be_erased:
-                continue
-            uv, xr, pred, gate = self.kernels.reproject_landmarks_for_fuse(
-                jnp.asarray(kf.rot_cw, dtype=jnp.float32),
-                jnp.asarray(kf.trans_cw, dtype=jnp.float32),
-                lm_pos_d, jnp.asarray(lm_dmin), jnp.asarray(lm_dmax),
-                jnp.asarray(lm_norm), jnp.ones(len(lm_list), bool),
-            )
-            best_idx, accepted, _ = fuse_match.detect_duplication(
-                kf.undist_xy, kf.feats.level, kf.feats.desc, kf.feats.valid,
-                kf.x_right,
-                lm_desc_d, uv, xr, pred, gate,
-                scale_factors=self.kernels.scale_factors,
-                level_sigma_sq=self.kernels.level_sigma_sq,
-                num_levels=self.orb_params.num_levels, margin=margin,
-            )
-            acc = np.asarray(accepted)
-            if not acc.any():
-                continue
-            bidx = np.asarray(best_idx)
-            with map_db.lock:
-                for i in np.nonzero(acc)[0]:
+        # pad the landmark axis to power-of-two buckets to bound recompiles
+        M = len(lm_list)
+        Mpad = max(256, 1 << int(np.ceil(np.log2(M))))
+        pad = lambda a: np.concatenate(
+            [a, np.zeros((Mpad - M,) + a.shape[1:], a.dtype)]
+        )
+        lm_valid = np.zeros(Mpad, bool)
+        lm_valid[:M] = True
+        stack = lambda f: jnp.stack([f(kf) for kf in padded_kfs])
+        best_all, acc_all = self.kernels.fuse_multi(
+            stack(lambda kf: kf.undist_xy), stack(lambda kf: kf.feats.level),
+            stack(lambda kf: kf.feats.desc), stack(lambda kf: kf.feats.valid),
+            stack(lambda kf: kf.x_right),
+            stack(lambda kf: jnp.asarray(kf.rot_cw, dtype=jnp.float32)),
+            stack(lambda kf: jnp.asarray(kf.trans_cw, dtype=jnp.float32)),
+            jnp.asarray(kf_batch_valid),
+            jnp.asarray(pad(lm_pos)), jnp.asarray(pad(lm_desc)),
+            jnp.asarray(pad(lm_dmin)), jnp.asarray(pad(lm_dmax)),
+            jnp.asarray(pad(lm_norm)), jnp.asarray(lm_valid),
+        )
+        best_all = np.asarray(best_all)
+        acc_all = np.asarray(acc_all)
+        with map_db.lock:
+            for b, kf in enumerate(keyframes):
+                acc = acc_all[b]
+                if not acc[:M].any():
+                    continue
+                bidx = best_all[b]
+                for i in np.nonzero(acc[:M])[0]:
                     lm_id, lm = lm_list[i]
                     if lm.will_be_erased:
                         continue

@@ -52,7 +52,10 @@ class MappingKernels:
         return type(other) is type(self) and other._config_key == self._config_key
 
     @partial(jax.jit, static_argnames=("self",))
-    def triangulate_pair(
+    def triangulate_pair(self, *args):
+        return self._triangulate_pair_impl(*args)
+
+    def _triangulate_pair_impl(
         self,
         # keyframe 1 (new) tensors
         kp1_uv, kp1_level, kp1_desc, kp1_bear, kp1_angle, kp1_valid_unassoc,
@@ -140,7 +143,81 @@ class MappingKernels:
 
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnames=("self",))
+    def triangulate_multi(
+        self,
+        kp1_uv, kp1_level, kp1_desc, kp1_bear, kp1_angle, kp1_valid_unassoc,
+        kp1_is_stereo, kp1_xr,
+        # stacked neighbor tensors [B, ...]
+        kp2_uv, kp2_level, kp2_desc, kp2_bear, kp2_angle, kp2_valid_unassoc,
+        kp2_is_stereo, kp2_xr,
+        R1, t1,
+        R2, t2,  # [B,3,3], [B,3]
+        pair_valid,  # [B] bool
+    ):
+        """Triangulate the new keyframe against B neighbors in ONE program
+        (the reference loops neighbors on the mapping thread,
+        mapping_module.cc:286-340; per-dispatch latency on the target stack
+        makes one vmapped program ~B x cheaper)."""
+
+        def one(kp2_uv_, kp2_level_, kp2_desc_, kp2_bear_, kp2_angle_,
+                kp2_un_, kp2_st_, kp2_xr_, R2_, t2_, pv):
+            res = self._triangulate_pair_impl(
+                kp1_uv, kp1_level, kp1_desc, kp1_bear, kp1_angle,
+                kp1_valid_unassoc, kp1_is_stereo, kp1_xr,
+                kp2_uv_, kp2_level_, kp2_desc_, kp2_bear_, kp2_angle_,
+                kp2_un_, kp2_st_, kp2_xr_, R1, t1, R2_, t2_,
+            )
+            return TriangulationResult(
+                pos_w=res.pos_w,
+                idx2=jnp.where(pv, res.idx2, -1),
+                ok=res.ok & pv,
+            )
+
+        return jax.vmap(one)(
+            kp2_uv, kp2_level, kp2_desc, kp2_bear, kp2_angle,
+            kp2_valid_unassoc, kp2_is_stereo, kp2_xr, R2, t2, pair_valid,
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def fuse_multi(
+        self,
+        # stacked keyframe tensors [B, ...]
+        kf_uv, kf_level, kf_desc, kf_valid, kf_xr,
+        R_cw, t_cw,  # [B,3,3], [B,3]
+        kf_batch_valid,  # [B] bool (padding slots masked)
+        # landmark candidate arrays [M, ...]
+        lm_pos, lm_desc, lm_min_dist, lm_max_dist, lm_normal, lm_valid,
+    ):
+        """Fuse-candidate detection against B keyframes in ONE program
+        (reference fuse loops keyframes on the mapping thread)."""
+        from stella_vslam_tpu.match import fuse as fuse_match
+
+        def one(uv_, lvl_, desc_, val_, xr_, R_, t_, bv_):
+            ruv, rxr, pred, gate = self._reproject_for_fuse_impl(
+                R_, t_, lm_pos, lm_min_dist, lm_max_dist, lm_normal, lm_valid
+            )
+            best_idx, accepted, _ = fuse_match.detect_duplication(
+                uv_, lvl_, desc_, val_, xr_,
+                lm_desc, ruv, rxr, pred, gate,
+                scale_factors=self.scale_factors,
+                level_sigma_sq=self.level_sigma_sq,
+                num_levels=self.orb.num_levels, margin=3.0,
+            )
+            return best_idx, accepted & bv_
+
+        return jax.vmap(one)(
+            kf_uv, kf_level, kf_desc, kf_valid, kf_xr, R_cw, t_cw, kf_batch_valid
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
     def reproject_landmarks_for_fuse(
+        self, R_cw, t_cw, lm_pos, lm_min_dist, lm_max_dist, lm_normal, lm_valid
+    ):
+        return self._reproject_for_fuse_impl(
+            R_cw, t_cw, lm_pos, lm_min_dist, lm_max_dist, lm_normal, lm_valid
+        )
+
+    def _reproject_for_fuse_impl(
         self, R_cw, t_cw, lm_pos, lm_min_dist, lm_max_dist, lm_normal, lm_valid
     ):
         """Visibility + distance/direction gates for fuse candidates
