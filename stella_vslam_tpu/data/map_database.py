@@ -30,6 +30,7 @@ class DeviceLandmarkTable:
         self.capacity = capacity
         self.count = 0
         self.ids = np.full(capacity, -1, dtype=np.int64)
+        self.ids_dev = None  # [C] i32 device mirror of ids
         self.version = 0
         self.pos = None  # [C,3] f32 device
         self.desc = None  # [C,8] u32 device
@@ -38,15 +39,23 @@ class DeviceLandmarkTable:
         self.max_dist = None  # [C]
         self.valid = None  # [C] bool
         self.ref_level = None  # [C] i32 (octave of reference observation)
-        # per-row observability counters accumulated by the tracking thread
-        # and folded into Landmark objects at refresh (vectorized, replaces
-        # the reference's per-frame per-landmark counter updates)
-        self._pend_observable = np.zeros(capacity, np.int32)
+        # observability counters accumulated by the tracking thread and folded
+        # into Landmark objects at refresh. Keyed by LANDMARK ID, not table
+        # row: with pipelined tracking, a frame's result can be finalized
+        # AFTER the table has been refreshed (rows reordered), so row indices
+        # from the frame's dispatch-time layout must be resolved against the
+        # dispatch-time ids snapshot the caller passes in.
+        self._pend_observable: Dict[int, int] = {}
         self._pend_observed: Dict[int, int] = {}
 
-    def bump_observable(self, mask: np.ndarray):
-        n = min(len(mask), len(self._pend_observable))
-        self._pend_observable[:n] += mask[:n]
+    def bump_observable(self, mask: np.ndarray, ids: np.ndarray):
+        """`mask` is per-row in the layout described by `ids` (the caller's
+        snapshot of self.ids taken when the device program was dispatched)."""
+        n = min(len(mask), len(ids))
+        sel = ids[:n][mask[:n]]
+        for k in sel[sel >= 0]:
+            k = int(k)
+            self._pend_observable[k] = self._pend_observable.get(k, 0) + 1
 
     def bump_observed(self, lm_ids: np.ndarray):
         for lm_id in lm_ids[lm_ids >= 0]:
@@ -54,12 +63,11 @@ class DeviceLandmarkTable:
             self._pend_observed[k] = self._pend_observed.get(k, 0) + 1
 
     def _fold_counters(self, landmarks: Dict[int, Landmark]):
-        rows = np.nonzero(self._pend_observable[: self.count])[0]
-        for r in rows:
-            lm = landmarks.get(int(self.ids[r]))
+        for lm_id, cnt in self._pend_observable.items():
+            lm = landmarks.get(lm_id)
             if lm is not None:
-                lm.num_observable += int(self._pend_observable[r])
-        self._pend_observable[:] = 0
+                lm.num_observable += cnt
+        self._pend_observable = {}
         for lm_id, cnt in self._pend_observed.items():
             lm = landmarks.get(lm_id)
             if lm is not None:
@@ -72,7 +80,6 @@ class DeviceLandmarkTable:
         n = len(lms)
         while n > self.capacity:
             self.capacity *= 2
-            self._pend_observable = np.zeros(self.capacity, np.int32)
         C = self.capacity
         pos = np.zeros((C, 3), np.float32)
         desc = np.zeros((C, 8), np.uint32)
@@ -91,6 +98,7 @@ class DeviceLandmarkTable:
             ids[i] = lm.id
         self.count = n
         self.ids = ids
+        self.ids_dev = jax.device_put(ids.astype(np.int32))
         self.pos = jax.device_put(pos)
         self.desc = jax.device_put(desc)
         self.normal = jax.device_put(normal)
@@ -115,6 +123,8 @@ class MapDatabase:
         self.local_landmark_ids: list = []
         self.on_erase_keyframe: list = []  # callbacks(kf_id)
         self.markers: Dict[int, object] = {}  # fiducial markers (data/marker)
+        # landmark replacement tombstones: old id -> surviving id (fusion)
+        self.replaced_ids: Dict[int, int] = {}
         # native association store (C++ map core, native/mapcore.cpp)
         from stella_vslam_tpu.native.assoc_store import AssocStore
 
@@ -194,10 +204,41 @@ class MapDatabase:
             old.observations = {}
             old.will_be_erased = True
             old.replaced_id = new.id
+            # tombstone so stale associations (tracking chain, pending
+            # frames) can be forwarded to the surviving landmark — the
+            # reference's landmark::get_replaced / replace_landmarks_in_
+            # last_frm (mapping_module.cc:408-415)
+            self.replaced_ids[old.id] = new.id
             self.landmarks.pop(old.id, None)
             self.assoc_store.erase_landmark(old.id)
             new.compute_descriptor(self)
             new.update_mean_normal_and_obs_scale_variance(self)
+
+    def resolve_landmark_id(self, lm_id: int) -> int:
+        """Follow the replacement chain to the surviving landmark id;
+        returns -1 if the landmark (or its replacement) was erased."""
+        seen = 0
+        while lm_id in self.replaced_ids and seen < 64:
+            lm_id = self.replaced_ids[lm_id]
+            seen += 1
+        return lm_id if lm_id in self.landmarks else -1
+
+    def resolve_landmark_ids(self, lm_ids: "np.ndarray") -> "np.ndarray":
+        """Vectorized-ish resolve for association arrays (-1 passthrough)."""
+        if not self.replaced_ids:
+            return lm_ids
+        out = lm_ids.copy()
+        for i in np.nonzero(lm_ids >= 0)[0]:
+            k = int(lm_ids[i])
+            if k not in self.landmarks:
+                out[i] = self.resolve_landmark_id(k)
+        return out
+
+    def last_inserted_keyframe(self):
+        with self.lock:
+            if not self.keyframes:
+                return None
+            return self.keyframes[max(self.keyframes.keys())]
 
     # ---- queries ----
     def get_close_keyframes(self, pose_cw: np.ndarray, distance_thr: float, angle_thr: float):
@@ -256,6 +297,7 @@ class MapDatabase:
             self.landmarks.clear()
             self.origin_keyfrm_id = None
             self.local_landmark_ids = []
+            self.replaced_ids.clear()
             self.assoc_store.clear()
 
     def to_json(self, cameras: dict, orb_params: dict) -> dict:

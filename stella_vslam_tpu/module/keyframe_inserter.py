@@ -17,12 +17,14 @@ from stella_vslam_tpu.data.landmark import Landmark
 
 class KeyframeInserter:
     def __init__(self, camera, *, max_interval: float = 1.0, min_interval: float = 0.1,
-                 max_distance: float = -1.0, lms_ratio_thr_almost_all_lms_are_tracked: float = 0.95,
-                 lms_ratio_thr_view_changed: float = 0.9, enough_lms_thr: int = 100):
+                 max_distance: float = -1.0, min_distance: float = -1.0,
+                 lms_ratio_thr_almost_all_lms_are_tracked: float = 0.9,
+                 lms_ratio_thr_view_changed: float = 0.5, enough_lms_thr: int = 100):
         self.camera = camera
         self.max_interval = max_interval
         self.min_interval = min_interval
         self.max_distance = max_distance
+        self.min_distance = min_distance
         self.ratio_almost_all = lms_ratio_thr_almost_all_lms_are_tracked
         self.ratio_view_changed = lms_ratio_thr_view_changed
         self.enough_lms_thr = enough_lms_thr
@@ -30,38 +32,56 @@ class KeyframeInserter:
         self.marker_hook = None  # set by system when markers are configured
 
     def new_keyframe_is_needed(self, map_db, cur_frm: Frame, num_tracked: int,
-                               last_inserted_time: float, ref_keyfrm) -> bool:
+                               last_inserted_time: float, ref_keyfrm,
+                               num_reliable: int = None) -> bool:
+        """Reference decision expression (keyframe_inserter.cc:51-128):
+        (max_interval | max_distance | view_changed | not_enough_lms)
+        & (!enough_keyfrms | (min_interval & min_distance))
+        & !tracking_is_unstable & !almost_all_lms_are_tracked
+        & !mapper_is_skipping_localBA.
+        `num_reliable` counts tracked landmarks with >= min_num_obs_thr
+        observations (tracking_module.cc:143-148)."""
         if self.mapper is None:
             return False
-        # backpressure veto (keyframe_inserter.cc:69)
+        # backpressure veto (keyframe_inserter.cc:59-62)
         if self.mapper.is_paused() or self.mapper.pause_is_requested():
             return False
         num_keyfrms = map_db.num_keyframes()
-        # reference ratio: tracked vs the reference keyframe's tracked count
-        min_obs_thr = 3 if num_keyfrms > 2 else 2
+        min_obs_thr = 3 if num_keyfrms >= 3 else 2
         num_reliable_in_ref = (
             ref_keyfrm.num_tracked_landmarks(map_db, min_obs_thr) if ref_keyfrm else 0
         )
-        max_interval_elapsed = (
-            cur_frm.timestamp - last_inserted_time >= self.max_interval
+        if num_reliable is None:
+            num_reliable = num_tracked
+        enough_keyfrms = num_keyfrms > 5
+        dt = cur_frm.timestamp - last_inserted_time
+        max_interval_elapsed = self.max_interval > 0 and dt >= self.max_interval
+        min_interval_elapsed = self.min_interval <= 0 or dt >= self.min_interval
+        max_distance_traveled = False
+        min_distance_traveled = True
+        if (self.max_distance > 0 or self.min_distance > 0) and ref_keyfrm is not None:
+            last_kf = map_db.last_inserted_keyframe()
+            if last_kf is not None:
+                d = float(np.linalg.norm(last_kf.cam_center - cur_frm.cam_center))
+                if self.max_distance > 0:
+                    max_distance_traveled = d > self.max_distance
+                if self.min_distance > 0:
+                    min_distance_traveled = d > self.min_distance
+        view_changed = num_reliable < num_reliable_in_ref * self.ratio_view_changed
+        not_enough_lms = num_reliable < self.enough_lms_thr
+        tracking_is_unstable = num_tracked < 15
+        almost_all_lms_are_tracked = (
+            num_reliable > num_reliable_in_ref * self.ratio_almost_all
         )
-        min_interval_elapsed = (
-            cur_frm.timestamp - last_inserted_time >= self.min_interval
+        return (
+            (max_interval_elapsed or max_distance_traveled or view_changed
+             or not_enough_lms)
+            and (not enough_keyfrms
+                 or (min_interval_elapsed and min_distance_traveled))
+            and not tracking_is_unstable
+            and not almost_all_lms_are_tracked
+            and not self.mapper.is_skipping_localBA()
         )
-        view_changed = num_tracked < num_reliable_in_ref * self.ratio_view_changed
-        not_enough_lms = num_tracked < self.enough_lms_thr
-        tracking_is_unstable = num_tracked < max(15, num_reliable_in_ref * 0.25)
-
-        cond1 = (
-            max_interval_elapsed
-            or (min_interval_elapsed and self.mapper.is_idle())
-            or view_changed
-        )
-        cond2 = num_tracked >= 15 and (
-            view_changed or not_enough_lms or max_interval_elapsed
-        )
-        del tracking_is_unstable
-        return cond1 and cond2
 
     # ------------------------------------------------------------------
     def insert_new_keyframe(self, map_db, cur_frm: Frame) -> Keyframe:

