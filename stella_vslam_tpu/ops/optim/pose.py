@@ -65,37 +65,49 @@ def optimize_pose(
         R, t, inlier = carry
         use_huber = round_idx < num_robust_rounds
 
-        def lm_iter(carry2, _):
-            R, t, lam = carry2
-            r, J, _, dof, depth_ok = res_fn(R, t, pos_w, obs_uv, obs_x_right, cam)
+        def eval_state(Rc, tc):
+            """ONE residual+Jacobian evaluation -> (cost, H, b)."""
+            r, J, _, dof, depth_ok = res_fn(Rc, tc, pos_w, obs_uv, obs_x_right, cam)
             w_obs = (valid & inlier & depth_ok).astype(jnp.float32) * inv_sigma_sq
-            chi = jnp.sqrt(jnp.maximum(jnp.sum(r * r * dof, axis=-1) * inv_sigma_sq, 1e-12))
-            huber_w = jnp.where(
-                use_huber & (chi > sqrt_chi), sqrt_chi / chi, 1.0
+            chi = jnp.sqrt(
+                jnp.maximum(jnp.sum(r * r * dof, axis=-1) * inv_sigma_sq, 1e-12)
             )
+            huber_w = jnp.where(use_huber & (chi > sqrt_chi), sqrt_chi / chi, 1.0)
             w = w_obs * huber_w  # [N]
             Jw = J * (dof * w[:, None])[:, :, None]  # weight rows
             H = jnp.einsum("nki,nkj->ij", Jw, J)
             b = jnp.einsum("nki,nk->i", Jw, r)
-            cost0 = jnp.sum(w * jnp.sum(r * r * dof, axis=-1))
+            cost = jnp.sum(w * jnp.sum(r * r * dof, axis=-1))
+            return cost, H, b
 
-            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
-            dx = -linalg_small.solve_spd_unrolled(Hd, b)
-            R_new, t_new = lie.se3_update_left(R, t, dx)
-            r2, _, _, dof2, dok2 = res_fn(R_new, t_new, pos_w, obs_uv, obs_x_right, cam)
-            chi_n = jnp.sqrt(jnp.maximum(jnp.sum(r2 * r2 * dof2, axis=-1) * inv_sigma_sq, 1e-12))
-            hub_n = jnp.where(use_huber & (chi_n > sqrt_chi), sqrt_chi / chi_n, 1.0)
-            w_n = (valid & inlier & dok2).astype(jnp.float32) * inv_sigma_sq * hub_n
-            cost1 = jnp.sum(w_n * jnp.sum(r2 * r2 * dof2, axis=-1))
-            improved = cost1 < cost0
-            R = jnp.where(improved, R_new, R)
-            t = jnp.where(improved, t_new, t)
-            lam = jnp.where(improved, lam * 0.5, lam * 4.0)
-            lam = jnp.clip(lam, 1e-9, 1e6)
-            return (R, t, lam), None
+        def lm_iter(carry2, _):
+            """Deferred-acceptance LM: ONE residual/Jacobian evaluation per
+            iteration — evaluating the trial pose doubles as the
+            accept/reject test for the previous step (g2o's LM evaluates the
+            new chi2 to accept; this fuses that with the next
+            linearization), halving the per-iteration cost."""
+            (R_b, t_b, cost_b, H_b, b_b, lam, R_try, t_try) = carry2
+            cost_t, H_t, b_t = eval_state(R_try, t_try)
+            accept = cost_t < cost_b
+            R_b = jnp.where(accept, R_try, R_b)
+            t_b = jnp.where(accept, t_try, t_b)
+            H_b = jnp.where(accept, H_t, H_b)
+            b_b = jnp.where(accept, b_t, b_b)
+            cost_b = jnp.where(accept, cost_t, cost_b)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+            Hd = H_b + lam * jnp.diag(jnp.diag(H_b)) + 1e-9 * jnp.eye(6)
+            dx = -linalg_small.solve_spd_unrolled(Hd, b_b)
+            R_n, t_n = lie.se3_update_left(R_b, t_b, dx)
+            return (R_b, t_b, cost_b, H_b, b_b, lam, R_n, t_n), None
 
-        (R, t, _), _ = jax.lax.scan(
-            lm_iter, (R, t, jnp.float32(1e-4)), None, length=num_each_iter
+        cost0, H0, b0 = eval_state(R, t)
+        Hd0 = H0 + 1e-4 * jnp.diag(jnp.diag(H0)) + 1e-9 * jnp.eye(6)
+        dx0 = -linalg_small.solve_spd_unrolled(Hd0, b0)
+        R1, t1 = lie.se3_update_left(R, t, dx0)
+        (R, t, _, _, _, _, _, _), _ = jax.lax.scan(
+            lm_iter,
+            (R, t, cost0, H0, b0, jnp.float32(1e-4), R1, t1),
+            None, length=num_each_iter,
         )
         # re-classify inliers for the next round (pose_optimizer_g2o.cc:136-147)
         chi2, depth_ok = chi2_of(R, t)
