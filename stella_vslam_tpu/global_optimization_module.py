@@ -276,7 +276,7 @@ class GlobalOptimizationModule:
         map_db = self.map_db
         self.loop_ba_running = True
         try:
-            prob, lm_ids, kf_slots = self._assemble_global_ba()
+            prob, lm_ids, kf_slots, marker_rows = self._assemble_global_ba()
             if prob is None:
                 return
             res = ba_mod.bundle_adjust(
@@ -304,6 +304,9 @@ class GlobalOptimizationModule:
                     lm = map_db.landmarks.get(lm_id)
                     if lm is not None and not lm.will_be_erased:
                         lm.pos_w = lm_new[l].astype(np.float64)
+                for mk, ci, row in marker_rows:
+                    if not mk.keep_fixed:
+                        mk.corners_world[ci] = lm_new[row].astype(np.float64)
         finally:
             self.loop_ba_running = False
 
@@ -317,7 +320,7 @@ class GlobalOptimizationModule:
                 k for k, lm in map_db.landmarks.items() if not lm.will_be_erased
             )
             if len(kf_ids) < 2 or len(lm_ids) < 8:
-                return None, None, None
+                return None, None, None, None
             K = 1 << int(np.ceil(np.log2(max(len(kf_ids), 2))))
             L = 1 << int(np.ceil(np.log2(max(len(lm_ids), 8))))
             slot_of = {k: i for i, k in enumerate(kf_ids)}
@@ -362,16 +365,29 @@ class GlobalOptimizationModule:
                 obs_uv[rows, ds] = kf.h_undist_xy[idxs]
                 obs_xr[rows, ds] = kf.h_x_right[idxs]
                 obs_w[rows, ds] = inv_sigma[kf.h_level[idxs]]
+            # marker corner vertices (reference global_bundle_adjuster
+            # marker edges; same semantics as local BA)
+            from stella_vslam_tpu.marker.marker import append_marker_rows
+
+            lm_fixed = np.zeros(L, bool)
+            lm_keep = np.zeros(L, bool)
+            marker_rows = append_marker_rows(
+                map_db, slot_of, lm_pos, lm_valid, lm_fixed,
+                obs_cam, obs_uv, obs_w, obs_valid, start_row=len(lm_ids),
+                lm_keep_inlier=lm_keep,
+            )
         prob = ba_mod.BAProblem(
             cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
             cam_fixed=jnp.asarray(cam_fixed), cam_valid=jnp.asarray(cam_valid),
             lm_pos=jnp.asarray(lm_pos), lm_valid=jnp.asarray(lm_valid),
             obs_cam=jnp.asarray(obs_cam), obs_uv=jnp.asarray(obs_uv),
             obs_x_right=jnp.asarray(obs_xr), obs_inv_sigma_sq=jnp.asarray(obs_w),
-            obs_valid=jnp.asarray(obs_valid),
+            obs_valid=jnp.asarray(obs_valid), lm_fixed=jnp.asarray(lm_fixed),
+            lm_keep_inlier=jnp.asarray(lm_keep),
         )
         return (
             prob,
             list(lm_ids) + [-1] * (L - len(lm_ids)),
             list(kf_ids) + [-1] * (K - len(kf_ids)),
+            marker_rows,
         )

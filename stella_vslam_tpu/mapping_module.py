@@ -24,6 +24,7 @@ import numpy as np
 
 from stella_vslam_tpu.data.keyframe import Keyframe
 from stella_vslam_tpu.data.landmark import Landmark
+from stella_vslam_tpu.marker.marker import append_marker_rows
 from stella_vslam_tpu.match import fuse as fuse_match
 from stella_vslam_tpu.module.local_map_cleaner import LocalMapCleaner
 from stella_vslam_tpu.module.mapping_kernels import MappingKernels
@@ -331,7 +332,7 @@ class MappingModule:
     # ------------------------------------------------------------------
     def local_bundle_adjustment(self, cur: Keyframe):
         map_db = self.map_db
-        prob, lm_ids, kf_slots = self._assemble_local_ba(cur)
+        prob, lm_ids, kf_slots, marker_rows = self._assemble_local_ba(cur)
         if prob is None:
             return
         cam = make_cam_scalars(self.camera)
@@ -378,6 +379,10 @@ class MappingModule:
                     map_db.erase_landmark(lm_id)
                 else:
                     lm.update_mean_normal_and_obs_scale_variance(map_db)
+            # marker corner write-back (reference cc:411-427)
+            for mk, ci, row in marker_rows:
+                if not mk.keep_fixed:
+                    mk.corners_world[ci] = lm_new[row].astype(np.float64)
 
     def _assemble_local_ba(self, cur: Keyframe):
         """Build the padded BAProblem (host numpy, one upload)."""
@@ -461,14 +466,26 @@ class MappingModule:
             obs_xr[rows, ds] = kf.h_x_right[idxs]
             obs_w[rows, ds] = inv_sigma[kf.h_level[idxs]]
 
+        # marker corner vertices: initialized (or fixed) markers observed by
+        # keyframes in this problem contribute 4 extra point rows each with
+        # unit-weight 2D edges (reference local_bundle_adjuster_g2o.cc:250-304)
+        lm_fixed = np.zeros(L, bool)
+        lm_keep = np.zeros(L, bool)
+        marker_rows = append_marker_rows(
+            map_db, slot_of, lm_pos, lm_valid, lm_fixed,
+            obs_cam, obs_uv, obs_w, obs_valid, start_row=len(lm_ids),
+            lm_keep_inlier=lm_keep,
+        )
+
         prob = ba_mod.BAProblem(
             cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
             cam_fixed=jnp.asarray(cam_fixed), cam_valid=jnp.asarray(cam_valid),
             lm_pos=jnp.asarray(lm_pos), lm_valid=jnp.asarray(lm_valid),
             obs_cam=jnp.asarray(obs_cam), obs_uv=jnp.asarray(obs_uv),
             obs_x_right=jnp.asarray(obs_xr), obs_inv_sigma_sq=jnp.asarray(obs_w),
-            obs_valid=jnp.asarray(obs_valid),
+            obs_valid=jnp.asarray(obs_valid), lm_fixed=jnp.asarray(lm_fixed),
+            lm_keep_inlier=jnp.asarray(lm_keep),
         )
         lm_ids_padded = lm_ids + [-1] * (L - len(lm_ids))
         kf_slots_padded = kf_slots + [-1] * (K - len(kf_slots))
-        return prob, lm_ids_padded, kf_slots_padded
+        return prob, lm_ids_padded, kf_slots_padded, marker_rows

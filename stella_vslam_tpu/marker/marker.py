@@ -19,9 +19,51 @@ class Marker:
         self.corners_world = None  # [4,3] once initialized
         self.observations: Dict[int, "object"] = {}  # keyframe id -> Marker2D
         self.initialized = False
+        # frozen marker (e.g. loaded from a prebuilt map): its corners act as
+        # fixed anchors in BA (reference data/marker.h keep_fixed_)
+        self.keep_fixed = False
 
     def add_observation(self, keyfrm_id: int, m2d):
         self.observations[keyfrm_id] = m2d
+
+
+def append_marker_rows(map_db, slot_of, lm_pos, lm_valid, lm_fixed,
+                       obs_cam, obs_uv, obs_w, obs_valid, *, start_row: int,
+                       lm_keep_inlier=None):
+    """Append marker corner rows to a padded BA problem (host arrays mutated
+    in place). Each initialized-or-fixed marker observed by a keyframe in
+    `slot_of` contributes 4 point rows with unit-weight 2D reprojection edges
+    to every observing keyframe present in the problem (reference
+    local_bundle_adjuster_g2o.cc:250-304, global_bundle_adjuster marker
+    vertices). Returns [(marker, corner_idx, row)] for corner write-back."""
+    L, D = obs_valid.shape
+    rows = []
+    row = start_row
+    for mk in map_db.markers.values():
+        if row + 4 > L:
+            break
+        if (not mk.initialized and not mk.keep_fixed) or mk.corners_world is None:
+            continue
+        obs = [
+            (slot_of[k], m2d) for k, m2d in mk.observations.items()
+            if k in slot_of
+        ]
+        if not obs:
+            continue
+        for ci in range(4):
+            lm_pos[row] = mk.corners_world[ci]
+            lm_valid[row] = True
+            lm_fixed[row] = mk.keep_fixed
+            if lm_keep_inlier is not None:
+                lm_keep_inlier[row] = True
+            for d, (s, m2d) in enumerate(obs[:D]):
+                obs_cam[row, d] = s
+                obs_uv[row, d] = m2d.undist_corners_2d[ci]
+                obs_w[row, d] = 1.0
+                obs_valid[row, d] = True
+            rows.append((mk, ci, row))
+            row += 1
+    return rows
 
 
 class MarkerInitializer:

@@ -17,11 +17,17 @@ class Marker2D:
     """reference data/marker2d.h — one detection in one frame."""
 
     def __init__(self, marker_id: int, corners_2d: np.ndarray,
-                 rot_cm: np.ndarray, trans_cm: np.ndarray):
+                 rot_cm: np.ndarray, trans_cm: np.ndarray,
+                 undist_corners_2d: np.ndarray = None):
         self.id = marker_id
         self.corners_2d = corners_2d  # [4,2]
         self.rot_cm = rot_cm  # camera <- marker
         self.trans_cm = trans_cm
+        # undistorted corners, used by the BA marker edges
+        # (reference marker2d.h undist_corners_)
+        self.undist_corners_2d = (
+            undist_corners_2d if undist_corners_2d is not None else corners_2d
+        )
 
 
 class MarkerDetector:
@@ -61,5 +67,8 @@ class MarkerDetector:
             if not ok:
                 continue
             R, _ = cv2.Rodrigues(rvec)
-            out[int(mid)] = Marker2D(int(mid), c2, R, tvec.reshape(3))
+            und = cv2.undistortPoints(
+                c2.reshape(-1, 1, 2), self._K, self._D, P=self._K
+            ).reshape(4, 2)
+            out[int(mid)] = Marker2D(int(mid), c2, R, tvec.reshape(3), und)
         return out

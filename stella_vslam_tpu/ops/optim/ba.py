@@ -53,6 +53,15 @@ class BAProblem(NamedTuple):
     obs_x_right: jnp.ndarray  # [L,D] stereo x_right (<0 mono)
     obs_inv_sigma_sq: jnp.ndarray  # [L,D]
     obs_valid: jnp.ndarray  # [L,D] bool
+    # optional [L] bool: point held constant — its observations still
+    # constrain the cameras, but the point gets no update and contributes no
+    # Schur marginalization (the reference's fixed marker-corner vertices,
+    # local_bundle_adjuster_g2o.cc:272 create_vertices(mkr, keep_fixed_))
+    lm_fixed: jnp.ndarray = None
+    # optional [L] bool: rows exempt from the mid-schedule chi-square outlier
+    # reclassification (the reference only reclassifies landmark reprojection
+    # edges, never marker-corner edges — cc:306-329 iterates reproj_edge_wraps)
+    lm_keep_inlier: jnp.ndarray = None
 
 
 class BAResult(NamedTuple):
@@ -188,6 +197,10 @@ def _gn_step(prob: BAProblem, cam_R, cam_t, lm_pos, inlier, cam, model,
         :, None, None] + 1e-7) * eyeL3
     Hpp_inv = linalg_small.inv3x3(Hpp_d)  # [L,3,3] closed-form adjugate (batched
     # jnp.linalg.inv lowers to a slow per-matrix LAPACK-style loop on TPU)
+    if prob.lm_fixed is not None:
+        # fixed points: no Schur marginalization (their obs fold fully into
+        # Hcc) and, via the back-substitution below, a zero point update
+        Hpp_inv = Hpp_inv * (~prob.lm_fixed)[:, None, None].astype(Hpp_inv.dtype)
 
     V = jnp.einsum("ldij,ljk->ldik", Wm, Hpp_inv)  # [L,D,6,3]
     Vk = jnp.einsum("ldk,ldij->lkij", oh, V)  # [L,K,6,3]
@@ -285,6 +298,8 @@ def bundle_adjust(
     is_stereo = prob.obs_x_right > 0
     chi_thr = jnp.where(is_stereo, CHI_SQ_3D, CHI_SQ_2D)
     inlier1 = (chi2_mid <= chi_thr) & depth_ok_mid
+    if prob.lm_keep_inlier is not None:
+        inlier1 = inlier1 | prob.lm_keep_inlier[:, None]
     R2, t2, p2, cost = stage(R1, t1, p1, inlier1, False, num_second)
     _, chi2_fin, depth_ok_fin = _total_cost(prob, R2, t2, p2, inlier1, cam, model, False)
     outlier = prob.obs_valid & ((chi2_fin > chi_thr) | ~depth_ok_fin)

@@ -155,3 +155,26 @@ def test_ba_stereo():
     res = ba.bundle_adjust(prob, cam)
     lm_err = np.linalg.norm(np.array(res.lm_pos[:L]) - pts, axis=-1)
     assert np.median(lm_err) < 0.05
+
+
+def test_ba_fixed_landmarks_anchor():
+    """lm_fixed points (marker corners of keep_fixed markers) must stay put
+    while still constraining the cameras."""
+    prob, poses, pts, L, K = build_problem(noise=0.1, point_pert=0.0)
+    fixed = np.zeros(prob.lm_pos.shape[0], bool)
+    fixed[:8] = True
+    prob = prob._replace(lm_fixed=jnp.asarray(fixed))
+    res = ba.bundle_adjust(prob, CAM)
+    # fixed points exactly unchanged
+    np.testing.assert_allclose(
+        np.array(res.lm_pos[:8]), np.array(prob.lm_pos[:8]), atol=0.0
+    )
+    # free points still converge near ground truth
+    lm_err = np.linalg.norm(np.array(res.lm_pos[8:L]) - pts[8:L], axis=-1)
+    assert np.median(lm_err) < 0.05
+    # cameras still well-estimated (fixed points participated as anchors)
+    rmse = reproj_rmse(
+        res, poses, pts, np.array(prob.obs_valid), np.array(prob.obs_cam),
+        np.array(prob.obs_uv), L,
+    )
+    assert rmse < 0.6

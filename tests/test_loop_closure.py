@@ -1,0 +1,190 @@
+"""End-to-end loop closure on an out-and-back trajectory with injected
+odometric drift.
+
+The synthetic renderer is geometrically perfect, so a plain out-and-back run
+accumulates almost no drift and the dense landmark-table local map silently
+re-acquires the old landmarks — the loop detector then (correctly) never
+fires because the revisited keyframes are already covisible. To exercise the
+full loop-closing path (BoW candidates + continuity -> PnP/Sim3 validation ->
+correction propagation -> pose-graph optimization -> global BA; reference
+global_optimization_module.cc:122-312 + module/loop_detector.cc), we inject
+the drift explicitly: after the outbound leg the "old" map segment (keyframes
+near the start + the landmarks they triangulated) is moved by an SE3 offset,
+with cross-segment observations severed so both segments stay internally
+consistent — exactly the state a drifted mono run reaches at revisit time.
+
+The return leg then tracks against the (unmoved) recent segment, maps the
+start region a second time ~0.5 m away from the displaced old copy, and only
+the loop detector can stitch the two together again.
+"""
+import numpy as np
+import pytest
+
+from stella_vslam_tpu.config import Config
+from stella_vslam_tpu.system import System
+from tests.synthetic_world import PlaneWorld, umeyama_align
+
+
+def pose_at_x(x: float) -> np.ndarray:
+    """Camera at world (x, 0, 0), looking +Z at the plane (R = I)."""
+    T = np.eye(4)
+    T[:3, 3] = [-x, 0.0, 0.0]
+    return T
+
+
+def make_drift_se3(tx: float, yaw_deg: float) -> np.ndarray:
+    c, s = np.cos(np.deg2rad(yaw_deg)), np.sin(np.deg2rad(yaw_deg))
+    T = np.eye(4)
+    T[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    T[0, 3] = tx
+    return T
+
+
+def inject_segment_drift(slam, tx_metric: float, yaw_deg: float,
+                         cutoff_frac: float, gt_span_metric: float):
+    """Move the old map segment (keyframes in the first `cutoff_frac` of the
+    map's x-span, plus the landmarks they first observed) by an SE3 drift,
+    severing cross-segment observations first. Leaves the live tracking state
+    (recent segment) untouched; the tracker re-anchors itself on the next
+    dispatch via the device-table version bump.
+
+    The monocular map lives at an arbitrary gauge scale (median-depth
+    normalized at init), so the metric drift translation is converted to map
+    units via the estimated scale before being applied. Returns the moved
+    keyframe ids and the applied transform."""
+    slam.tracker.finalize_pending()
+    md = slam.map_db
+    with md.lock:
+        span_map = max(
+            kf.cam_center[0] for kf in md.keyframes.values()
+            if not kf.will_be_erased
+        )
+    scale = span_map / gt_span_metric
+    T_s = make_drift_se3(tx_metric * scale, yaw_deg)
+    cutoff_x = cutoff_frac * span_map
+    R_s, t_s = T_s[:3, :3], T_s[:3, 3]
+    S_inv = np.linalg.inv(T_s)
+    with md.lock:
+        old_kfs = {
+            k for k, kf in md.keyframes.items()
+            if not kf.will_be_erased and kf.cam_center[0] <= cutoff_x
+        }
+        assert len(old_kfs) >= 3, "world/trajectory too small for the test"
+        # partition landmarks by the keyframe that created them
+        moved = [
+            lm_id for lm_id, lm in md.landmarks.items()
+            if not lm.will_be_erased and lm.first_keyfrm_id in old_kfs
+        ]
+        # sever cross-segment observations (both directions), then move
+        for lm_id in moved:
+            lm = md.landmarks.get(lm_id)
+            if lm is None:
+                continue
+            for kf_id in [k for k in lm.observations if k not in old_kfs]:
+                idx = lm.observations[kf_id]
+                lm.erase_observation(kf_id)
+                md.keyframes[kf_id].erase_landmark_with_index(idx)
+            if lm.num_observations() < 2:
+                md.erase_landmark(lm_id)
+                continue
+            lm.pos_w = R_s @ lm.pos_w + t_s
+        moved_set = set(moved)
+        for lm_id, lm in list(md.landmarks.items()):
+            if lm_id in moved_set or lm.will_be_erased:
+                continue
+            for kf_id in [k for k in lm.observations if k in old_kfs]:
+                idx = lm.observations[kf_id]
+                lm.erase_observation(kf_id)
+                md.keyframes[kf_id].erase_landmark_with_index(idx)
+            if lm.num_observations() < 2:
+                md.erase_landmark(lm_id)
+        for k in old_kfs:
+            kf = md.keyframes.get(k)
+            if kf is not None:
+                kf.set_pose_cw(kf.pose_cw @ S_inv)
+        # rebuild covisibility for everyone (connections crossing the seam
+        # must drop so the loop detector's reject set is honest)
+        for kf in md.keyframes.values():
+            if not kf.will_be_erased:
+                kf.graph_node.connections = {}
+                kf.graph_node._ordered_ids = []
+        for kf in md.keyframes.values():
+            if not kf.will_be_erased:
+                kf.graph_node.update_connections(md)
+        for lm in md.landmarks.values():
+            if not lm.will_be_erased:
+                lm.compute_descriptor(md)
+                lm.update_mean_normal_and_obs_scale_variance(md)
+    md.refresh_device_table()
+    return old_kfs, T_s
+
+
+@pytest.mark.slow
+def test_loop_closure_end_to_end():
+    world = PlaneWorld(width=400, height=300, fx=320.0, depth=4.0,
+                       tex_size=2048, meters_per_px=0.01)
+    cfg = Config.from_dict(
+        {
+            "Camera": world.camera_yaml(),
+            "Feature": {"num_levels": 4},
+            "Preprocessing": {"min_size": 400},
+            "Initializer": {"use_fixed_seed": True},
+        }
+    )
+    slam = System(cfg, inline_mapping=True)
+    slam.startup()
+
+    step, dt = 0.1, 0.2
+    xs_out = [i * step for i in range(65)]          # 0 -> 6.4 m
+    # return leg: fast back to x=2, then slow (more keyframes for the loop
+    # detector's 3-round continuity check) through the revisit region
+    xs_back = [6.4 - i * step for i in range(1, 45)]   # 6.3 -> 2.0 m
+    xs_back += [2.0 - i * 0.05 for i in range(1, 61)]  # 1.95 -> -1.0 m
+    gt_x = []
+
+    t = 0.0
+    for x in xs_out:
+        slam.feed_monocular_frame(world.render(pose_at_x(x)), t)
+        gt_x.append(x)
+        t += dt
+    slam.tracker.finalize_pending()
+    assert slam.tracker.state == "Tracking", "outbound leg lost tracking"
+
+    # inject the drift: the start-region segment moves by ~0.55 m + 3 deg yaw
+    # (>= 40 px of reprojection offset at the plane — beyond every projection
+    # search margin, so the return leg cannot silently re-acquire it)
+    old_kfs, T_s = inject_segment_drift(
+        slam, tx_metric=0.55, yaw_deg=3.0, cutoff_frac=0.3,
+        gt_span_metric=6.4,
+    )
+
+    for x in xs_back:
+        slam.feed_monocular_frame(world.render(pose_at_x(x)), t)
+        gt_x.append(x)
+        t += dt
+    slam.shutdown()
+
+    # the loop must actually have been detected and closed
+    assert slam.global_optimizer.num_loops_closed >= 1, \
+        "loop detector never fired on the revisit"
+    loop_edges = [
+        (k, e) for k, kf in slam.map_db.keyframes.items()
+        for e in kf.graph_node.loop_edges
+    ]
+    assert loop_edges, "no loop edges registered in the covisibility graph"
+
+    # after correction + pose graph + global BA the whole trajectory must be
+    # consistent again: one similarity aligns it to ground truth
+    est, gt = [], []
+    for (ts, pose, _, _), x in zip(slam.frame_poses, gt_x):
+        if pose is None:
+            continue
+        est.append(-pose[:3, :3].T @ pose[:3, 3])
+        gt.append([x, 0.0, 0.0])
+    est, gt = np.asarray(est), np.asarray(gt)
+    assert len(est) >= 100, f"only {len(est)} frames tracked"
+    aligned, _ = umeyama_align(est, gt)
+    ate_rmse = float(np.sqrt(np.mean(np.sum((aligned - gt) ** 2, axis=1))))
+    # an unclosed map (two segments offset by 0.55 m) aligns no better than
+    # ~0.25 m RMSE; a closed one is an order of magnitude tighter
+    assert ate_rmse < 0.15, f"trajectory inconsistent after loop: {ate_rmse:.3f} m"

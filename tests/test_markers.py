@@ -95,3 +95,51 @@ def test_marker_initializer_world_pose():
     assert init.check_marker_initialization(mk, db)
     center = mk.corners_world.mean(axis=0)
     np.testing.assert_allclose(center, marker_world, atol=0.08)
+
+
+def test_marker_rows_in_ba_assembly():
+    """append_marker_rows: initialized markers contribute 4 point rows with
+    unit-weight edges; fixed markers get lm_fixed rows."""
+    import numpy as np
+    from stella_vslam_tpu.marker.marker import append_marker_rows
+
+    model = MarkerModel(width=0.2)
+
+    class M2D:
+        def __init__(self, und):
+            self.undist_corners_2d = und
+
+    mk1 = Marker(1, model)
+    mk1.initialized = True
+    mk1.corners_world = np.arange(12, dtype=float).reshape(4, 3)
+    mk1.add_observation(10, M2D(np.full((4, 2), 5.0)))
+    mk1.add_observation(11, M2D(np.full((4, 2), 7.0)))
+    mk2 = Marker(2, model)  # not initialized -> skipped
+    mk3 = Marker(3, model)  # fixed
+    mk3.keep_fixed = True
+    mk3.corners_world = np.ones((4, 3))
+    mk3.add_observation(11, M2D(np.full((4, 2), 9.0)))
+
+    class DB:
+        markers = {1: mk1, 2: mk2, 3: mk3}
+
+    L, D = 16, 4
+    lm_pos = np.zeros((L, 3), np.float32)
+    lm_valid = np.zeros(L, bool)
+    lm_fixed = np.zeros(L, bool)
+    obs_cam = np.zeros((L, D), np.int32)
+    obs_uv = np.zeros((L, D, 2), np.float32)
+    obs_w = np.ones((L, D), np.float32)
+    obs_valid = np.zeros((L, D), bool)
+    rows = append_marker_rows(
+        DB(), {10: 0, 11: 1}, lm_pos, lm_valid, lm_fixed,
+        obs_cam, obs_uv, obs_w, obs_valid, start_row=2,
+    )
+    assert len(rows) == 8  # mk1 + mk3, 4 corners each
+    assert lm_valid[2:10].all() and not lm_valid[10:].any()
+    assert not lm_fixed[2:6].any() and lm_fixed[6:10].all()
+    np.testing.assert_allclose(lm_pos[2], [0, 1, 2])
+    assert obs_valid[2, :2].all() and not obs_valid[2, 2:].any()
+    np.testing.assert_allclose(obs_uv[2, 0], [5.0, 5.0])
+    np.testing.assert_allclose(obs_uv[2, 1], [7.0, 7.0])
+    assert obs_valid[6, 0] and obs_cam[6, 0] == 1  # fixed marker edge to kf 11
