@@ -404,9 +404,13 @@ def camera_from_yaml(node: dict) -> Camera:
     (reference: camera_factory.h; example/euroc/EuRoC_mono.yaml Camera keys)."""
     model = _MODEL_ALIASES[str(node["model"]).strip().lower()]
     setup = _SETUP_ALIASES[str(node["setup"]).strip().lower()]
+    # equirectangular projection is centered on the image (reference
+    # camera/equirectangular.cc uses cols/2, rows/2 implicitly)
+    cx_default = node["cols"] / 2.0 if model == CameraModel.EQUIRECTANGULAR else 0.0
+    cy_default = node["rows"] / 2.0 if model == CameraModel.EQUIRECTANGULAR else 0.0
     params = make_params(
         fx=node.get("fx", 0.0), fy=node.get("fy", 0.0),
-        cx=node.get("cx", 0.0), cy=node.get("cy", 0.0),
+        cx=node.get("cx", cx_default), cy=node.get("cy", cy_default),
         k1=node.get("k1", 0.0), k2=node.get("k2", 0.0),
         p1=node.get("p1", 0.0), p2=node.get("p2", 0.0),
         k3=node.get("k3", 0.0), k4=node.get("k4", 0.0),
