@@ -37,7 +37,8 @@ class DeviceLandmarkTable:
         self.normal = None  # [C,3] f32
         self.min_dist = None  # [C]
         self.max_dist = None  # [C]
-        self.valid = None  # [C] bool
+        self.valid = None  # [C] bool — row holds a live landmark
+        self.track_valid = None  # [C] bool — valid AND covisibility-local
         self.ref_level = None  # [C] i32 (octave of reference observation)
         # observability counters accumulated by the tracking thread and folded
         # into Landmark objects at refresh. Keyed by LANDMARK ID, not table
@@ -74,7 +75,12 @@ class DeviceLandmarkTable:
                 lm.num_observed += cnt
         self._pend_observed = {}
 
-    def refresh(self, landmarks: Dict[int, Landmark], map_db):
+    def refresh(self, landmarks: Dict[int, Landmark], map_db,
+                local_ids: Optional[set] = None):
+        """`local_ids`: landmark ids in the covisibility-local map (reference
+        local_map_updater semantics) — only those rows are visible to the
+        tracking sweep (`track_valid`). None = everything local (small maps,
+        or callers with no center keyframe)."""
         self._fold_counters(landmarks)
         lms = [lm for lm in landmarks.values() if not lm.will_be_erased]
         n = len(lms)
@@ -87,6 +93,7 @@ class DeviceLandmarkTable:
         dmin = np.zeros(C, np.float32)
         dmax = np.zeros(C, np.float32)
         valid = np.zeros(C, bool)
+        local = np.zeros(C, bool)
         ids = np.full(C, -1, np.int64)
         for i, lm in enumerate(lms):
             pos[i] = lm.pos_w
@@ -95,6 +102,7 @@ class DeviceLandmarkTable:
             dmin[i] = lm.min_valid_dist
             dmax[i] = lm.max_valid_dist
             valid[i] = True
+            local[i] = local_ids is None or lm.id in local_ids
             ids[i] = lm.id
         self.count = n
         self.ids = ids
@@ -105,6 +113,8 @@ class DeviceLandmarkTable:
         self.min_dist = jax.device_put(dmin)
         self.max_dist = jax.device_put(dmax)
         self.valid = jax.device_put(valid)
+        # rows visible to the tracking thread's local-map sweep
+        self.track_valid = jax.device_put(valid & local)
         self.version += 1
 
 
@@ -286,9 +296,33 @@ class MapDatabase:
         return max(self.keyframes) if self.keyframes else -1
 
     # ---- device mirror ----
-    def refresh_device_table(self):
+    def refresh_device_table(self, center_kf_id: Optional[int] = None,
+                             max_local_keyframes: int = 60):
+        """Refresh the device landmark table. When `center_kf_id` is given,
+        the tracking-visible rows are restricted to the covisibility-local
+        map around that keyframe: 1st-order covisibilities (capped) plus
+        their top-10 2nd-order neighbors — the reference local_map_updater
+        neighborhood (local_map_updater.cc:26-248). Without a center, every
+        live landmark is tracking-visible."""
         with self.lock:
-            self.device_table.refresh(self.landmarks, self)
+            local_ids = None
+            center = self.keyframes.get(center_kf_id) if center_kf_id is not None else None
+            if center is not None:
+                kf_ids = [center.id]
+                kf_ids += center.graph_node.get_covisibilities()[: max_local_keyframes]
+                second = []
+                for k in kf_ids[1:]:
+                    kf = self.keyframes.get(k)
+                    if kf is not None:
+                        second += kf.graph_node.get_top_n_covisibilities(10)
+                local_ids = set()
+                for k in dict.fromkeys(kf_ids + second):
+                    kf = self.keyframes.get(k)
+                    if kf is None or kf.will_be_erased:
+                        continue
+                    for lm_id in kf.lm_ids[kf.lm_ids >= 0]:
+                        local_ids.add(int(lm_id))
+            self.device_table.refresh(self.landmarks, self, local_ids=local_ids)
 
     # ---- reset / serialization ----
     def clear(self):

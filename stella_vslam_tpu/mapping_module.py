@@ -133,7 +133,9 @@ class MappingModule:
             self.local_bundle_adjustment(cur)
         self.remove_temporal_keyframes(cur)
         self.cleaner.remove_redundant_keyframes(map_db, cur)
-        map_db.refresh_device_table()
+        # tracking-visible rows = covisibility-local map around the newest
+        # keyframe (reference local_map_updater neighborhood)
+        map_db.refresh_device_table(center_kf_id=cur.id)
 
     # ------------------------------------------------------------------
     def remove_temporal_keyframes(self, cur: Keyframe,

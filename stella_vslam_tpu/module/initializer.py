@@ -35,13 +35,14 @@ from stella_vslam_tpu.ops.solve import fundamental as fsolve
 from stella_vslam_tpu.ops.solve import homography as hsolve
 
 
-@partial(jax.jit, static_argnames=("min_pts",))
+@partial(jax.jit, static_argnames=("min_pts", "require_positive_z"))
 def _evaluate_hypotheses(
     R_h, t_h, hyp_valid,  # [B,3,3], [B,3], [B] candidate cam2<-cam1 motions
     b1, b2,  # [N,3] bearings in ref(1) / cur(2)
     match_valid,  # [N]
     parallax_cos_thr, reproj_cos_thr,
     min_pts: int = 50,
+    require_positive_z: bool = True,
 ):
     """Triangulate every match under every hypothesis; count valid points
     (positive depth both views, angular reprojection error below threshold,
@@ -64,10 +65,14 @@ def _evaluate_hypotheses(
         cos_par = jnp.sum(b1 * ray2_in_1, axis=-1)
         ok = (
             match_valid
-            & (d1 > 0) & (d2 > 0)
             & (cos1 > reproj_cos_thr) & (cos2 > reproj_cos_thr)
             & (cos_par < parallax_cos_thr)
         )
+        if require_positive_z:
+            # perspective-family cameras: points must sit in front of both
+            # views (for 360 cameras the bearing-alignment check above already
+            # pins the point to the observed direction; z may be negative)
+            ok = ok & (d1 > 0) & (d2 > 0)
         return jnp.sum(ok), pts1, ok
 
     counts, ptss, oks = jax.vmap(eval_one)(R_h, t_h)
@@ -201,14 +206,17 @@ class Initializer:
             R_h, t_h, hyp_valid, ref.bearings, cur_bear_aligned, inl & mvalid,
             self.parallax_cos_thr, self.reproj_cos_thr,
             min_pts=self.min_num_triangulated_pts,
+            require_positive_z=self.camera.model == CameraModel.PERSPECTIVE,
         )
         if not bool(ok):
             return False
 
         pts1_h = np.asarray(pts1)
         pt_ok_h = np.asarray(pt_ok)
-        # scale normalization by median depth (initializer.h:104-108)
-        med = float(np.median(pts1_h[pt_ok_h][:, 2]))
+        # scale normalization by median (absolute) depth — abs for 360
+        # cameras where points sit behind the camera plane
+        # (initializer.h:104-108; keyframe compute_median_depth(abs))
+        med = float(np.median(np.abs(pts1_h[pt_ok_h][:, 2])))
         if med <= 0:
             return False
         scale = 1.0 / med

@@ -261,11 +261,22 @@ class System:
 
     # ------------------------------------------------------------------
     # control (reference system.h:97-183)
+    def print_info(self):
+        print(f"stella_vslam_tpu: camera={self.camera.name} "
+              f"model={self.camera.model.name.lower()} "
+              f"setup={self.camera.setup.name.lower()} "
+              f"{self.camera.width}x{self.camera.height}@{self.camera.fps}fps, "
+              f"ORB {self.orb_params.num_levels} levels "
+              f"x{self.orb_params.scale_factor}")
+
     def enable_mapping_module(self):
         self.tracker.mapping_is_enabled = True
 
     def disable_mapping_module(self):
         self.tracker.mapping_is_enabled = False
+
+    def mapping_module_is_enabled(self) -> bool:
+        return self.tracker.mapping_is_enabled
 
     def request_reset(self):
         self.tracker.reset()
@@ -279,6 +290,28 @@ class System:
 
     def loop_detector_is_enabled(self):
         return self.global_optimizer.loop_detector_is_enabled()
+
+    def request_loop_closure(self, keyfrm1_id: int, keyfrm2_id: int) -> bool:
+        """Manual loop closure between two keyframes (reference system.h:116)."""
+        return self.global_optimizer.request_loop_closure(keyfrm1_id, keyfrm2_id)
+
+    def loop_BA_is_running(self) -> bool:
+        return self.global_optimizer.loop_ba_running
+
+    def abort_loop_BA(self):
+        self.global_optimizer.abort_loop_BA()
+
+    def pause_tracker(self):
+        """Pause frame processing (reference system.h:159: the tracker blocks;
+        here subsequent feeds are skipped until resume_tracker)."""
+        self.tracker.finalize_pending()
+        self.tracker.pause_is_requested = True
+
+    def tracker_is_paused(self) -> bool:
+        return getattr(self.tracker, "pause_is_requested", False)
+
+    def resume_tracker(self):
+        self.tracker.pause_is_requested = False
 
     def relocalize_by_pose(self, pose_cw: np.ndarray) -> bool:
         """External pose-hint recovery: find keyframes near the given pose and

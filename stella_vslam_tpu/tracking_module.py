@@ -81,6 +81,10 @@ class TrackingModule:
         self.last_reloc_frm_id = -10
         self.num_tracked_lms = 0
         self.mapping_is_enabled = True
+        # reference tracking pause protocol (tracking_module.cc:127-130);
+        # the caller owns this thread, so paused frames are skipped instead
+        # of blocking
+        self.pause_is_requested = False
 
         self._pending = []  # up to 2 in-flight frames (dispatch runs ahead
         # of finalize so the readback round trip overlaps the next compute)
@@ -111,6 +115,9 @@ class TrackingModule:
         """Dispatch tracking for `frm`; returns the pose of the PREVIOUSLY
         finalized frame when pipelining (None during init/loss). Finalized
         per-frame poses accumulate in self.finalized."""
+        if self.pause_is_requested:
+            self.finalized.append((frm.id, frm.timestamp, None, None, None))
+            return None
         if self.state != STATE_TRACKING:
             self.finalize_pending()
 
@@ -139,6 +146,11 @@ class TrackingModule:
             if ok:
                 self.state = STATE_TRACKING
                 self.last_reloc_frm_id = frm.id
+                if frm.ref_keyfrm_id is not None:
+                    self.ref_keyfrm_id = frm.ref_keyfrm_id
+                # re-center the tracking-visible local map on the keyframe we
+                # relocalized against (the old center may be far away)
+                self.map_db.refresh_device_table(center_kf_id=self.ref_keyfrm_id)
                 self._set_chain_from_frame(frm)
                 self.twist = None
                 self._dev_pose = None
@@ -235,7 +247,12 @@ class TrackingModule:
             la_pos, la_valid, la_id,
             ref_kf.feats.desc, ref_kf.feats.angle,
             self._kf_assoc_pos, self._kf_assoc_valid, self._kf_assoc_id,
-            tbl.pos, tbl.desc, tbl.normal, tbl.min_dist, tbl.max_dist, tbl.valid,
+            tbl.pos, tbl.desc, tbl.normal, tbl.min_dist, tbl.max_dist,
+            # covisibility-local rows only: the reference's local map is the
+            # covisibility neighborhood, NOT the whole map — matching against
+            # distant (possibly drifted) landmarks creates aliased
+            # associations that silently absorb loops (local_map_updater.cc)
+            tbl.track_valid if tbl.track_valid is not None else tbl.valid,
             tbl.ids_dev,
             R_last, t_last, R_prev, t_prev,
             use_motion=use_motion, margin_local=float(margin),

@@ -10,8 +10,6 @@ from stella_vslam_tpu.util.synthetic import BoxWorld, umeyama_align
 
 
 @pytest.mark.slow
-@pytest.mark.xfail(strict=False,
-                   reason="equirect e2e under active bring-up (round 1)")
 def test_equirect_slam_e2e():
     world = BoxWorld(width=512, height=256, half=4.0)
     n = 40

@@ -115,7 +115,35 @@ def inject_segment_drift(slam, tx_metric: float, yaw_deg: float,
             if not lm.will_be_erased:
                 lm.compute_descriptor(md)
                 lm.update_mean_normal_and_obs_scale_variance(md)
-    md.refresh_device_table()
+        # sanity: the two segments must share no observation after severing
+        moved_alive = {m for m in moved_set if m in md.landmarks}
+        for lm_id, lm in md.landmarks.items():
+            obs_old = {k for k in lm.observations if k in old_kfs}
+            if lm_id in moved_alive:
+                assert len(obs_old) == len(lm.observations), \
+                    f"moved lm {lm_id} still observed by new keyframes"
+            else:
+                assert not obs_old, f"unmoved lm {lm_id} still observed by old keyframes"
+        # repair keyframe slots that still reference the moved segment
+        # (guards against any stale slot left by replace/fusion tombstones)
+        for k, kf in md.keyframes.items():
+            if k in old_kfs or kf.will_be_erased:
+                continue
+            for idx in np.nonzero(kf.lm_ids >= 0)[0]:
+                if int(kf.lm_ids[idx]) in moved_alive:
+                    kf.lm_ids[idx] = -1
+    # purge the live tracking chain of associations into the moved segment —
+    # under real accumulated drift those associations would never have formed
+    # (stale ones would otherwise flow into the next keyframe and bridge the
+    # two segments through the covisibility graph)
+    tr = slam.tracker
+    if tr.last_frm is not None:
+        ids = tr.last_frm.lm_ids
+        for i in np.nonzero(ids >= 0)[0]:
+            if int(ids[i]) in moved_alive:
+                ids[i] = -1
+    md.refresh_device_table(center_kf_id=slam.tracker.ref_keyfrm_id)
+    slam._injected_moved = moved_alive  # for tests/diagnostics
     return old_kfs, T_s
 
 
