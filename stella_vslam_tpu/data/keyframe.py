@@ -213,7 +213,9 @@ class Keyframe:
         self._not_to_be_erased = flag
 
     def can_be_erased(self) -> bool:
-        return not self._not_to_be_erased
+        # keyframes anchoring a loop edge are never culled (reference erase
+        # protocol: prepare_for_erasing refuses while loop edges exist)
+        return not self._not_to_be_erased and not self.graph_node.loop_edges
 
     # ---- serialization (msgpack-style json, reference map json schema) ----
     def to_json(self) -> dict:

@@ -26,7 +26,8 @@ from stella_vslam_tpu.data.landmark import Landmark
 class DeviceLandmarkTable:
     """Fixed-capacity device mirror of the landmark set (grows by doubling)."""
 
-    def __init__(self, capacity: int = 16384):
+    def __init__(self, capacity: int = 2048):
+        self.min_capacity = capacity
         self.capacity = capacity
         self.count = 0
         self.ids = np.full(capacity, -1, dtype=np.int64)
@@ -78,22 +79,31 @@ class DeviceLandmarkTable:
     def refresh(self, landmarks: Dict[int, Landmark], map_db,
                 local_ids: Optional[set] = None):
         """`local_ids`: landmark ids in the covisibility-local map (reference
-        local_map_updater semantics) — only those rows are visible to the
-        tracking sweep (`track_valid`). None = everything local (small maps,
-        or callers with no center keyframe)."""
+        local_map_updater semantics). When given, the table holds ONLY those
+        rows — the tracking sweep's cost is proportional to the table
+        capacity, and the local map is bounded (<= ~60 keyframes), so keeping
+        the table local-compact is both the reference semantics and the fast
+        layout. None = all live landmarks (small maps / no center). Capacity
+        snaps to power-of-two buckets to bound jit recompiles."""
         self._fold_counters(landmarks)
-        lms = [lm for lm in landmarks.values() if not lm.will_be_erased]
+        if local_ids is None:
+            lms = [lm for lm in landmarks.values() if not lm.will_be_erased]
+        else:
+            lms = [
+                landmarks[i] for i in sorted(local_ids)
+                if i in landmarks and not landmarks[i].will_be_erased
+            ]
         n = len(lms)
-        while n > self.capacity:
-            self.capacity *= 2
-        C = self.capacity
+        C = self.min_capacity
+        while n > C:
+            C *= 2
+        self.capacity = C
         pos = np.zeros((C, 3), np.float32)
         desc = np.zeros((C, 8), np.uint32)
         normal = np.zeros((C, 3), np.float32)
         dmin = np.zeros(C, np.float32)
         dmax = np.zeros(C, np.float32)
         valid = np.zeros(C, bool)
-        local = np.zeros(C, bool)
         ids = np.full(C, -1, np.int64)
         for i, lm in enumerate(lms):
             pos[i] = lm.pos_w
@@ -102,7 +112,6 @@ class DeviceLandmarkTable:
             dmin[i] = lm.min_valid_dist
             dmax[i] = lm.max_valid_dist
             valid[i] = True
-            local[i] = local_ids is None or lm.id in local_ids
             ids[i] = lm.id
         self.count = n
         self.ids = ids
@@ -113,13 +122,14 @@ class DeviceLandmarkTable:
         self.min_dist = jax.device_put(dmin)
         self.max_dist = jax.device_put(dmax)
         self.valid = jax.device_put(valid)
-        # rows visible to the tracking thread's local-map sweep
-        self.track_valid = jax.device_put(valid & local)
+        # rows visible to the tracking thread's local-map sweep (the table IS
+        # the local map now; kept as a separate field for API clarity)
+        self.track_valid = self.valid
         self.version += 1
 
 
 class MapDatabase:
-    def __init__(self, min_num_shared_lms: int = 15, device_table_capacity: int = 16384):
+    def __init__(self, min_num_shared_lms: int = 15, device_table_capacity: int = 2048):
         self.lock = threading.RLock()
         self.keyframes: Dict[int, Keyframe] = {}
         self.landmarks: Dict[int, Landmark] = {}

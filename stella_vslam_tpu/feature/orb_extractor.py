@@ -247,6 +247,12 @@ class OrbExtractor:
         self._extract_patches_nomask = jax.jit(
             lambda img: self._extract_impl(img, None)
         )
+        # stereo L/R pair in ONE program (reference extracts on two threads,
+        # system.cc:427-434; here one batched dispatch keeps the chip busy and
+        # pays the host->device launch latency once)
+        self._extract_pair = jax.jit(
+            jax.vmap(lambda img: self._extract_impl(img, None))
+        )
 
     # ------------------------------------------------------------------
     def extract(self, image: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> FrameFeatures:
@@ -260,6 +266,15 @@ class OrbExtractor:
         """Like extract(), additionally returning the blurred 39x39 descriptor
         patches [N, 1521] bf16 (consumed by the stereo subpixel matcher)."""
         return self._extract_patches_nomask(jnp.asarray(image))
+
+    def extract_pair_with_patches(self, image_left, image_right):
+        """Extract both stereo images in one batched device program; returns
+        ((feats_l, patches_l), (feats_r, patches_r))."""
+        imgs = jnp.stack([jnp.asarray(image_left), jnp.asarray(image_right)])
+        feats, patches = self._extract_pair(imgs)
+        f_l = jax.tree_util.tree_map(lambda x: x[0], feats)
+        f_r = jax.tree_util.tree_map(lambda x: x[1], feats)
+        return (f_l, patches[0]), (f_r, patches[1])
 
     # ------------------------------------------------------------------
     def _extract_impl(self, img0: jnp.ndarray, mask0: jnp.ndarray) -> FrameFeatures:

@@ -30,13 +30,14 @@ from stella_vslam_tpu.ops.optim import sim3 as sim3_opt
 
 class GlobalOptimizationModule:
     def __init__(self, map_db, camera, orb_params, bow_db, *,
-                 fix_scale: bool = False):
+                 fix_scale: bool = False, use_fixed_seed: bool = False):
         self.map_db = map_db
         self.camera = camera
         self.orb_params = orb_params
         self.loop_detector = LoopDetector(
             camera, orb_params, bow_db,
             fix_scale_in_Sim3_estimation=fix_scale,
+            use_fixed_seed=use_fixed_seed,
         )
         self._queue: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
@@ -44,6 +45,7 @@ class GlobalOptimizationModule:
         self.mapper = None  # wired by system
         self.num_loops_closed = 0
         self.loop_ba_running = False
+        self._abort_loop_ba = False
 
     # ------------------------------------------------------------------
     def queue_keyframe(self, kf):
@@ -69,6 +71,31 @@ class GlobalOptimizationModule:
 
     def loop_detector_is_enabled(self) -> bool:
         return self.loop_detector.enabled
+
+    def abort_loop_BA(self):
+        """Abandon the in-flight loop BA (reference loop_bundle_adjuster
+        abort: results are discarded when a new loop arrives)."""
+        self._abort_loop_ba = True
+
+    def request_loop_closure(self, keyfrm1_id: int, keyfrm2_id: int) -> bool:
+        """Manual loop closure between two keyframes (reference
+        global_optimization_module.cc:61-120): run the Sim3 validation of
+        keyfrm1 against keyfrm2 directly (no BoW detection / continuity) and
+        correct if it holds."""
+        with self.map_db.lock:
+            kf1 = self.map_db.keyframes.get(keyfrm1_id)
+            kf2 = self.map_db.keyframes.get(keyfrm2_id)
+            if kf1 is None or kf2 is None or kf1.will_be_erased \
+                    or kf2.will_be_erased:
+                return False
+        out = self.loop_detector.select_loop_candidate_via_Sim3(
+            self.map_db, kf1, keyfrm2_id
+        )
+        if out is None:
+            return False
+        cand_id, sim3_cw, src_cand_slot, inl = out
+        self.correct_loop(kf1, cand_id, sim3_cw, src_cand_slot, inl)
+        return True
 
     # ------------------------------------------------------------------
     def run(self):
@@ -110,12 +137,19 @@ class GlobalOptimizationModule:
                 # S_i_corr = S_i_old o S_cur_old^-1 o S_cur_corr
                 covis = [cur_kf.id] + cur_kf.graph_node.get_covisibilities()
                 corrections = {}
+                # pre-correction poses — the pose-graph edge measurements must
+                # come from the NON-corrected relative poses so the loop
+                # constraint creates tension that the optimization distributes
+                # over the essential graph (reference graph_optimizer.cc:65-104
+                # non_corrected_Sim3s)
+                pre_poses = {}
                 moved_lms = set()
                 for kid in covis:
                     kf = map_db.keyframes.get(kid)
                     if kf is None or kf.will_be_erased:
                         continue
                     R_i, t_i = kf.rot_cw, kf.trans_cw
+                    pre_poses[kid] = (R_i.copy(), t_i.copy())
                     # relative (SE3): i <- cur
                     R_rel = R_i @ R_old.T
                     t_rel = t_i - R_rel @ t_old
@@ -167,6 +201,34 @@ class GlobalOptimizationModule:
                             cand_lm.add_observation(cur_kf.id, int(f_slot))
                             cur_kf.add_landmark(int(cand_lm_id), int(f_slot))
 
+                # cross-loop landmark fusion: project the candidate-side
+                # local landmarks into EVERY corrected covisibility keyframe
+                # and fuse duplicates (reference replace_duplicated_landmarks,
+                # global_optimization_module.cc:400-491) — this creates the
+                # cross-loop observations that let the global BA stitch the
+                # two sides rigidly
+                if cand is not None and self.mapper is not None:
+                    cand_side_ids = []
+                    seen_ids = set()
+                    for kid in [cand_id] + cand.graph_node.get_covisibilities():
+                        ckf = map_db.keyframes.get(kid)
+                        if ckf is None or ckf.will_be_erased:
+                            continue
+                        for lm_id in ckf.lm_ids[ckf.lm_ids >= 0]:
+                            if int(lm_id) not in seen_ids:
+                                seen_ids.add(int(lm_id))
+                                lm = map_db.landmarks.get(int(lm_id))
+                                if lm is not None and not lm.will_be_erased:
+                                    cand_side_ids.append((int(lm_id), lm))
+                    fuse_kfs = [
+                        map_db.keyframes[k] for k in covis
+                        if k in map_db.keyframes
+                        and not map_db.keyframes[k].will_be_erased
+                    ]
+                    if cand_side_ids and fuse_kfs:
+                        self.mapper._fuse_into(map_db, fuse_kfs, cand_side_ids,
+                                               margin=4.0)
+
                 # new connections after fusion
                 for kid in covis:
                     kf = map_db.keyframes.get(kid)
@@ -178,7 +240,9 @@ class GlobalOptimizationModule:
                     cand.graph_node.add_loop_edge(cur_kf.id)
 
             # pose-graph optimization over the essential graph
-            self._pose_graph_optimize(corrections)
+            self._pose_graph_optimize(
+                corrections, pre_poses, loop_pair=(cur_kf.id, cand_id)
+            )
             self.num_loops_closed += 1
 
             # global BA (reference runs it on a detached thread; here inline
@@ -187,11 +251,20 @@ class GlobalOptimizationModule:
         finally:
             if self.mapper is not None:
                 self.mapper.resume()
-            self.map_db.refresh_device_table()
+            # post-correction local map re-centered on the corrected keyframe
+            # (its covisibilities now include the loop side)
+            self.map_db.refresh_device_table(center_kf_id=cur_kf.id)
 
     # ------------------------------------------------------------------
-    def _pose_graph_optimize(self, corrections):
+    def _pose_graph_optimize(self, corrections, pre_poses=None, loop_pair=None):
+        """Sim3 pose-graph over the essential graph (reference
+        graph_optimizer.cc). Vertex initialization uses the CORRECTED Sim3s
+        for the loop-corrected covisibility group; edge measurements use the
+        NON-corrected relative poses — the resulting tension against the loop
+        edge (measured at the corrected poses) is what distributes the
+        correction over the whole graph (graph_optimizer.cc:65-150)."""
         map_db = self.map_db
+        pre_poses = pre_poses or {}
         with map_db.lock:
             kf_ids = sorted(
                 k for k, kf in map_db.keyframes.items() if not kf.will_be_erased
@@ -203,14 +276,31 @@ class GlobalOptimizationModule:
             s = np.ones(K, np.float32)
             R = np.zeros((K, 3, 3), np.float32)
             t = np.zeros((K, 3), np.float32)
-            before = {}
+            # vertex init Sim3: the landmark-consistent pose of each keyframe
+            # (corrected Sim3 for the covis group, current SE3 otherwise)
+            before_sim3 = {}
             for k, i in idx_of.items():
                 kf = map_db.keyframes[k]
-                R[i] = kf.rot_cw
-                t[i] = kf.trans_cw
-                before[k] = (kf.rot_cw.copy(), kf.trans_cw.copy())
+                if k in corrections:
+                    s_i, R_i, t_i = corrections[k]
+                    s[i], R[i], t[i] = s_i, R_i, t_i
+                    before_sim3[k] = (float(s_i), np.array(R_i), np.array(t_i))
+                else:
+                    R[i] = kf.rot_cw
+                    t[i] = kf.trans_cw
+                    before_sim3[k] = (1.0, kf.rot_cw.copy(), kf.trans_cw.copy())
+
+            def sim3_noncorr(k):
+                # pre-correction pose (SE3) — the odometry the graph must bend
+                if k in pre_poses:
+                    R_p, t_p = pre_poses[k]
+                    return 1.0, R_p, t_p
+                kf = map_db.keyframes[k]
+                return 1.0, kf.rot_cw, kf.trans_cw
+
             # essential graph edges: spanning tree + loop edges + covis >= 100
             edges = set()
+            loop_edge_set = set()
             for k in kf_ids:
                 kf = map_db.keyframes[k]
                 gn = kf.graph_node
@@ -219,9 +309,14 @@ class GlobalOptimizationModule:
                 for le in gn.loop_edges:
                     if le in idx_of:
                         edges.add((min(k, le), max(k, le)))
+                        loop_edge_set.add((min(k, le), max(k, le)))
                 for cid, w in gn.connections.items():
                     if w >= 100 and cid in idx_of:
                         edges.add((min(k, cid), max(k, cid)))
+            if loop_pair is not None:
+                a, b = loop_pair
+                edges.add((min(a, b), max(a, b)))
+                loop_edge_set.add((min(a, b), max(a, b)))
             edges = sorted(edges)
             if not edges:
                 return
@@ -232,11 +327,17 @@ class GlobalOptimizationModule:
             eR = np.zeros((E, 3, 3), np.float32)
             et = np.zeros((E, 3), np.float32)
             for n, (a, b) in enumerate(edges):
-                Ra, ta = before[a]
-                Rb, tb = before[b]
-                # measurement S_ij = S_i o S_j^-1 at the (pre-correction) poses
+                if (a, b) in loop_edge_set:
+                    # loop constraints are measured at the corrected poses
+                    sa, Ra, ta = before_sim3[a]
+                    sb, Rb, tb = before_sim3[b]
+                else:
+                    sa, Ra, ta = sim3_noncorr(a)
+                    sb, Rb, tb = sim3_noncorr(b)
+                # measurement S_ab = S_a o S_b^-1 (Sim3 composition)
+                es[n] = sa / sb
                 eR[n] = Ra @ Rb.T
-                et[n] = ta - eR[n] @ tb
+                et[n] = ta - es[n] * (eR[n] @ tb)
 
         res = sim3_opt.optimize_pose_graph(
             jnp.asarray(s), jnp.asarray(R), jnp.asarray(t),
@@ -249,17 +350,18 @@ class GlobalOptimizationModule:
         R_new = np.asarray(res.R_cw)
         t_new = np.asarray(res.t_cw)
         with map_db.lock:
-            # remap landmarks via their reference keyframe before/after poses
+            # remap landmarks via their reference keyframe's
+            # landmark-consistent Sim3 before / optimized Sim3 after
+            # (graph_optimizer.cc tail)
             for lm in map_db.landmarks.values():
                 if lm.will_be_erased:
                     continue
                 rk = lm.ref_keyfrm_id
-                if rk not in idx_of or rk not in before:
+                if rk not in idx_of or rk not in before_sim3:
                     continue
                 i = idx_of[rk]
-                R_b, t_b = before[rk]
-                Xc = R_b @ lm.pos_w + t_b  # camera coords at the old SE3 pose
-                # new world position via the optimized Sim3: X = R^T(Xc - t)/s
+                s_b, R_b, t_b = before_sim3[rk]
+                Xc = s_b * (R_b @ lm.pos_w) + t_b  # camera coords (Sim3)
                 lm.pos_w = R_new[i].T @ (Xc - t_new[i]) / s_new[i]
             for k, i in idx_of.items():
                 kf = map_db.keyframes.get(k)
@@ -271,10 +373,16 @@ class GlobalOptimizationModule:
                 kf.set_pose_cw(T)
 
     # ------------------------------------------------------------------
-    def run_global_bundle_adjustment(self, num_iter: int = 10):
-        """Full-map BA (reference loop_bundle_adjuster + global_bundle_adjuster)."""
+    def run_global_bundle_adjustment(self, num_iter: int = 16):
+        """Full-map BA (reference loop_bundle_adjuster + global_bundle_adjuster).
+
+        Unlike local BA, the reference's global BA is a SINGLE robust stage
+        with no mid-schedule outlier reclassification
+        (global_bundle_adjuster.cc) — pruning would drop exactly the
+        high-residual cross-loop observations that stitch the corrected map."""
         map_db = self.map_db
         self.loop_ba_running = True
+        self._abort_loop_ba = False
         try:
             prob, lm_ids, kf_slots, marker_rows = self._assemble_global_ba()
             if prob is None:
@@ -282,8 +390,12 @@ class GlobalOptimizationModule:
             res = ba_mod.bundle_adjust(
                 prob, make_cam_scalars(self.camera),
                 model=self.camera.model.name.lower(),
-                num_first=4, num_second=num_iter,
+                num_first=num_iter, num_second=0,
             )
+            if self._abort_loop_ba:
+                # a newer loop superseded this BA: discard the results
+                # (reference loop_bundle_adjuster.cc abort path)
+                return
             camR = np.asarray(res.cam_R)
             camt = np.asarray(res.cam_t)
             lm_new = np.asarray(res.lm_pos)

@@ -302,6 +302,7 @@ class MappingModule:
             jnp.asarray(pad(lm_pos)), jnp.asarray(pad(lm_desc)),
             jnp.asarray(pad(lm_dmin)), jnp.asarray(pad(lm_dmax)),
             jnp.asarray(pad(lm_norm)), jnp.asarray(lm_valid),
+            margin=margin,
         )
         best_all = np.asarray(best_all)
         acc_all = np.asarray(acc_all)

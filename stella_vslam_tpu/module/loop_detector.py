@@ -150,15 +150,13 @@ class LoopDetector:
                         cur_ok[f] = True
             both = np.nonzero(inl & cur_ok)[0]
             if len(both) >= 8:
-                a = cur_pos[both]
-                b = pos[both]
-                ratios = []
-                for k in range(1, min(len(both), 40)):
-                    da = np.linalg.norm(a[k] - a[0])
-                    db = np.linalg.norm(b[k] - b[0])
-                    if da > 1e-6 and db > 1e-6:
-                        ratios.append(db / da)
-                scale = float(np.median(ratios)) if ratios else 1.0
+                # centroid-relative scale between the matched point sets
+                # (robust version of the reference's pair-norm ratio estimate)
+                a = cur_pos[both] - cur_pos[both].mean(0)
+                b = pos[both] - pos[both].mean(0)
+                na = float(np.sqrt((a ** 2).sum()))
+                nb = float(np.sqrt((b ** 2).sum()))
+                scale = nb / na if na > 1e-9 and nb > 1e-9 else 1.0
             else:
                 scale = 1.0
 
@@ -191,7 +189,10 @@ class LoopDetector:
         t12 = t_pnp - R12 @ t_cand
         p = self.camera.params
         resT = sim3_opt.optimize_transform(
-            jnp.float32(1.0), jnp.asarray(R12, dtype=jnp.float32),
+            # initial scale from matched landmark pair-norm ratios (reference
+            # loop detector Sim3 estimate) — the mutual-reprojection scale is
+            # weakly observable on near-planar scenes, so a good init matters
+            jnp.float32(scale), jnp.asarray(R12, dtype=jnp.float32),
             jnp.asarray(t12, dtype=jnp.float32),
             jnp.asarray(pts_in_cur), jnp.asarray(pts_in_cand),
             jnp.asarray(obs_cur), jnp.asarray(obs_cand),
@@ -209,5 +210,4 @@ class LoopDetector:
         s_cw = s12
         R_cw = R12r @ R_cand
         t_cw = s12 * (R12r @ t_cand) + t12r
-        del scale
         return cand_id, (s_cw, R_cw, t_cw), src_cand_slot, inl

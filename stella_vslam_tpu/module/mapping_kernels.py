@@ -178,7 +178,7 @@ class MappingKernels:
             kp2_valid_unassoc, kp2_is_stereo, kp2_xr, R2, t2, pair_valid,
         )
 
-    @partial(jax.jit, static_argnames=("self",))
+    @partial(jax.jit, static_argnames=("self", "margin"))
     def fuse_multi(
         self,
         # stacked keyframe tensors [B, ...]
@@ -187,9 +187,11 @@ class MappingKernels:
         kf_batch_valid,  # [B] bool (padding slots masked)
         # landmark candidate arrays [M, ...]
         lm_pos, lm_desc, lm_min_dist, lm_max_dist, lm_normal, lm_valid,
+        margin: float = 3.0,
     ):
         """Fuse-candidate detection against B keyframes in ONE program
-        (reference fuse loops keyframes on the mapping thread)."""
+        (reference fuse loops keyframes on the mapping thread; margin 3 in
+        mapping fusion, 4 in loop-closure fusion — match/fuse.cc callers)."""
         from stella_vslam_tpu.match import fuse as fuse_match
 
         def one(uv_, lvl_, desc_, val_, xr_, R_, t_, bv_):
@@ -201,7 +203,7 @@ class MappingKernels:
                 lm_desc, ruv, rxr, pred, gate,
                 scale_factors=self.scale_factors,
                 level_sigma_sq=self.level_sigma_sq,
-                num_levels=self.orb.num_levels, margin=3.0,
+                num_levels=self.orb.num_levels, margin=margin,
             )
             return best_idx, accepted & bv_
 

@@ -11,6 +11,7 @@ All functions are batched over leading dimensions and jit/vmap-safe.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -88,7 +89,14 @@ def smallest_eigvec_spd(A: jnp.ndarray, num_squarings: int = 18) -> jnp.ndarray:
         M = M @ M
         norm = jnp.sqrt(jnp.sum(M * M, axis=(-2, -1), keepdims=True)) + 1e-30
         M = M / norm
-    v = jnp.sum(M, axis=-1)  # M @ ones
+    # extract the dominant direction as the LARGEST COLUMN of the converged
+    # (rank-1, ~v v^T) matrix — NOT M @ ones, which vanishes whenever the
+    # target eigenvector happens to be near-orthogonal to the all-ones vector
+    # (the resulting ~0 vector then yields a near-zero DLT matrix whose
+    # residuals are all "perfect", and RANSAC selects the degenerate model)
+    col_sq = jnp.sum(M * M, axis=-2)
+    pick = jax.nn.one_hot(jnp.argmax(col_sq, axis=-1), M.shape[-1], dtype=M.dtype)
+    v = jnp.einsum("...ij,...j->...i", M, pick)
     return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
 
 

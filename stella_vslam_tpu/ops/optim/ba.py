@@ -292,7 +292,7 @@ def bundle_adjust(
         return cam_R, cam_t, lm_pos, costs[-1]
 
     inlier0 = jnp.ones_like(prob.obs_valid)
-    R1, t1, p1, _ = stage(prob.cam_R, prob.cam_t, prob.lm_pos, inlier0, True, num_first)
+    R1, t1, p1, cost1 = stage(prob.cam_R, prob.cam_t, prob.lm_pos, inlier0, True, num_first)
     # reclassify (cc:306-329)
     _, chi2_mid, depth_ok_mid = _total_cost(prob, R1, t1, p1, inlier0, cam, model, False)
     is_stereo = prob.obs_x_right > 0
@@ -300,7 +300,11 @@ def bundle_adjust(
     inlier1 = (chi2_mid <= chi_thr) & depth_ok_mid
     if prob.lm_keep_inlier is not None:
         inlier1 = inlier1 | prob.lm_keep_inlier[:, None]
-    R2, t2, p2, cost = stage(R1, t1, p1, inlier1, False, num_second)
+    if num_second > 0:
+        R2, t2, p2, cost = stage(R1, t1, p1, inlier1, False, num_second)
+    else:
+        # single robust stage (reference global BA: no pruning pass)
+        R2, t2, p2, cost = R1, t1, p1, cost1
     _, chi2_fin, depth_ok_fin = _total_cost(prob, R2, t2, p2, inlier1, cam, model, False)
     outlier = prob.obs_valid & ((chi2_fin > chi_thr) | ~depth_ok_fin)
     return BAResult(cam_R=R2, cam_t=t2, lm_pos=p2, obs_is_outlier=outlier, cost=cost)

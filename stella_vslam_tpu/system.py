@@ -74,6 +74,7 @@ class System:
         self.global_optimizer = GlobalOptimizationModule(
             self.map_db, self.camera, self.orb_params, self.bow_db,
             fix_scale=self.camera.setup != _Setup.MONOCULAR,
+            use_fixed_seed=cfg.get("Initializer", "use_fixed_seed", False),
         )
         self.global_optimizer.mapper = self.mapper
         self.mapper.global_optimizer = self.global_optimizer
@@ -186,16 +187,18 @@ class System:
         if pose is not None:
             self.map_publisher.set_current_cam_pose(pose)
 
-    def feed_stereo_frame(self, img_left, img_right, timestamp: float, mask=None):
-        """Rectified stereo pair -> row-matched depths -> tracking
-        (reference system.cc:426-470: parallel L/R extraction + stereo match)."""
+    def create_stereo_frame(self, img_left, img_right, timestamp: float,
+                            mask=None) -> Frame:
+        """Rectified stereo pair -> row-matched depths
+        (reference system.cc:426-470: parallel L/R extraction + stereo match;
+        here both extractions are async device dispatches)."""
         from stella_vslam_tpu.match.stereo import stereo_match
 
-        t0 = time.time()
         gl = self._to_gray(img_left)
         gr = self._to_gray(img_right)
-        feats_l, patch_l = self.extractor.extract_with_patches(jnp.asarray(gl))
-        feats_r, patch_r = self.extractor.extract_with_patches(jnp.asarray(gr))
+        (feats_l, patch_l), (feats_r, patch_r) = (
+            self.extractor.extract_pair_with_patches(gl, gr)
+        )
         p = self.camera.params
         x_right, depths = stereo_match(
             feats_l.xy, feats_l.level, feats_l.desc, feats_l.valid, patch_l,
@@ -211,14 +214,21 @@ class System:
             timestamp, self.camera, self.orb_params, feats_l, und, bear,
             x_right=x_right, depths=depths,
         )
+        if self.marker_detector is not None:
+            frm.markers_2d = self.marker_detector.detect(gl)
+        return frm
+
+    def feed_stereo_frame(self, img_left, img_right, timestamp: float, mask=None):
+        t0 = time.time()
+        frm = self.create_stereo_frame(img_left, img_right, timestamp, mask)
         pose = self.tracker.feed_frame(frm)
         if self.inline_mapping:
             self._drain_mapper_inline()
         self.track_times.append(time.time() - t0)
+        self._publish(img_left, frm, pose)
         return pose
 
-    def feed_RGBD_frame(self, img, depth, timestamp: float, mask=None):
-        t0 = time.time()
+    def create_RGBD_frame(self, img, depth, timestamp: float, mask=None) -> Frame:
         img = self._to_gray(img)
         feats = self.extractor.extract(jnp.asarray(img), mask)
         und, bear = self._preprocess(feats.xy)
@@ -241,10 +251,18 @@ class System:
             timestamp, self.camera, self.orb_params, feats, und, bear,
             x_right=jnp.asarray(x_right), depths=jnp.asarray(depths),
         )
+        if self.marker_detector is not None:
+            frm.markers_2d = self.marker_detector.detect(img)
+        return frm
+
+    def feed_RGBD_frame(self, img, depth, timestamp: float, mask=None):
+        t0 = time.time()
+        frm = self.create_RGBD_frame(img, depth, timestamp, mask)
         pose = self.tracker.feed_frame(frm)
         if self.inline_mapping:
             self._drain_mapper_inline()
         self.track_times.append(time.time() - t0)
+        self._publish(img, frm, pose)
         return pose
 
     @staticmethod
@@ -268,6 +286,26 @@ class System:
               f"{self.camera.width}x{self.camera.height}@{self.camera.fps}fps, "
               f"ORB {self.orb_params.num_levels} levels "
               f"x{self.orb_params.scale_factor}")
+
+    def get_camera(self) -> Camera:
+        return self.camera
+
+    def get_map_publisher(self):
+        return self.map_publisher
+
+    def get_frame_publisher(self):
+        return self.frame_publisher
+
+    def request_terminate(self):
+        """Asynchronous terminate request (reference system.h:180); honored at
+        shutdown()."""
+        self._terminate_is_requested = True
+
+    def terminate_is_requested(self) -> bool:
+        return getattr(self, "_terminate_is_requested", False)
+
+    def reset_is_requested(self) -> bool:
+        return getattr(self.tracker, "reset_is_requested", False)
 
     def enable_mapping_module(self):
         self.tracker.mapping_is_enabled = True
