@@ -86,14 +86,18 @@ class KeyframeInserter:
     # ------------------------------------------------------------------
     def insert_new_keyframe(self, map_db, cur_frm: Frame) -> Keyframe:
         kf = Keyframe(cur_frm, map_db)
-        # register existing associations
+        # register existing associations (one slot per landmark: a duplicate
+        # slot would leave an orphan kf.lm_ids entry with no matching
+        # landmark observation, corrupting covisibility counting)
+        seen = set()
         for idx, lm_id in enumerate(kf.lm_ids):
             if lm_id < 0:
                 continue
             lm = map_db.landmarks.get(int(lm_id))
-            if lm is None or lm.will_be_erased:
+            if lm is None or lm.will_be_erased or int(lm_id) in seen:
                 kf.lm_ids[idx] = -1
                 continue
+            seen.add(int(lm_id))
             lm.add_observation(kf.id, idx)
         map_db.add_keyframe(kf)
         for idx, lm_id in enumerate(kf.lm_ids):

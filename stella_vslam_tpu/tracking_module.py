@@ -321,6 +321,17 @@ class TrackingModule:
         # through fusion replacements that happened since dispatch
         tbl = self.map_db.device_table
         frm.lm_ids[:] = self.map_db.resolve_landmark_ids(lm_ids)
+        # replacement-forwarding can fold two distinct dispatch-time ids into
+        # ONE surviving landmark; a landmark may appear in at most one slot
+        # (landmark.observations records a single idx per keyframe — a
+        # duplicate slot would become an orphan association that corrupts
+        # covisibility counting when the keyframe inherits it)
+        ids = frm.lm_ids
+        occupied = np.nonzero(ids >= 0)[0]
+        if len(occupied) > 1:
+            _, first = np.unique(ids[occupied], return_index=True)
+            dup = np.setdiff1d(occupied, occupied[first], assume_unique=True)
+            ids[dup] = -1
         inlier = flags[:n]
 
         # observability counters (resolved via the dispatch-time id layout)

@@ -102,6 +102,22 @@ def inject_segment_drift(slam, tx_metric: float, yaw_deg: float,
             kf = md.keyframes.get(k)
             if kf is not None:
                 kf.set_pose_cw(kf.pose_cw @ S_inv)
+        # symmetrize slot <-> observation state BEFORE rebuilding the
+        # covisibility graph: any keyframe slot whose landmark does not list
+        # that exact (keyframe, slot) observation is stale and must drop,
+        # otherwise covisibility counting resurrects severed cross-seam edges
+        for k, kf in md.keyframes.items():
+            if kf.will_be_erased:
+                continue
+            for idx in np.nonzero(kf.lm_ids >= 0)[0]:
+                lm = md.landmarks.get(int(kf.lm_ids[idx]))
+                if lm is None or lm.observations.get(k) != int(idx):
+                    kf.lm_ids[idx] = -1
+        for lm in md.landmarks.values():
+            for k in [k for k, idx in lm.observations.items()
+                      if k not in md.keyframes
+                      or int(md.keyframes[k].lm_ids[idx]) != lm.id]:
+                lm.erase_observation(k)
         # rebuild covisibility for everyone (connections crossing the seam
         # must drop so the loop detector's reject set is honest)
         for kf in md.keyframes.values():

@@ -174,3 +174,39 @@ def test_pnp_dlt_exact():
     R_est, t_est = pnp.compute_pose_dlt(b, jnp.asarray(pts_w))
     np.testing.assert_allclose(np.array(R_est), np.array(R), atol=1e-3)
     np.testing.assert_allclose(np.array(t_est), np.array(t), atol=1e-2)
+
+
+def test_smallest_eigvec_ones_orthogonal():
+    """Regression: the power-iteration nullspace extractor must not vanish
+    when the target eigenvector is orthogonal to the all-ones vector (the old
+    M @ ones readout collapsed, yielding a near-zero DLT matrix that RANSAC
+    scored as a perfect all-inlier model)."""
+    from stella_vslam_tpu.ops.linalg import smallest_eigvec_spd
+
+    rng = np.random.default_rng(3)
+    # eigenvector with zero element-sum -> orthogonal to ones
+    v = np.array([1.0, -1.0, 0.5, -0.5, 0.25, -0.25, 2.0, -2.0, 0.0])
+    v = v / np.linalg.norm(v)
+    # complete an orthonormal basis
+    Q, _ = np.linalg.qr(np.concatenate([v[:, None], rng.normal(size=(9, 8))], axis=1))
+    # Q[:,0] == +-v; assign the SMALLEST eigenvalue to it
+    eigvals = np.array([1e-6, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0])
+    A = (Q * eigvals) @ Q.T
+    got = np.asarray(smallest_eigvec_spd(jnp.asarray(A[None], dtype=jnp.float32)))[0]
+    dot = abs(float(got @ Q[:, 0]))
+    assert dot > 0.999, f"nullspace extractor lost the eigenvector: |cos|={dot:.4f}"
+    # batched: many random SPD with a planted near-null direction
+    B = 64
+    As = []
+    for _ in range(B):
+        M = rng.normal(size=(9, 9)).astype(np.float32)
+        Qb, _ = np.linalg.qr(M)
+        ev = np.sort(rng.uniform(0.5, 10.0, 9)).astype(np.float32)
+        ev[0] = 1e-6
+        As.append((Qb * ev) @ Qb.T)
+    As = np.stack(As)
+    got = np.asarray(smallest_eigvec_spd(jnp.asarray(As)))
+    for i in range(B):
+        w, U = np.linalg.eigh(As[i])
+        dot = abs(float(got[i] @ U[:, 0]))
+        assert dot > 0.99, f"batch {i}: |cos|={dot:.4f}"
