@@ -114,6 +114,7 @@ class System:
         # stats
         self.track_times = []
         self._running = False
+        self._sample_depth = None  # lazily-jitted RGBD depth sampler
 
     # ------------------------------------------------------------------
     def startup(self, need_initialize: bool = True):
@@ -153,6 +154,7 @@ class System:
         feats = self.extractor.extract(jnp.asarray(img), mask)
         und, bear = self._preprocess(feats.xy)
         frm = Frame(timestamp, self.camera, self.orb_params, feats, und, bear)
+        frm.prefetch_host()
         if self.marker_detector is not None:
             frm.markers_2d = self.marker_detector.detect(img)
         return frm
@@ -179,9 +181,10 @@ class System:
         return pose
 
     def _publish(self, img, frm, pose):
+        # store references only — materialization happens on viewer pull
+        # (a blocking fetch here would cost a ~30 ms tunnel round trip)
         self.frame_publisher.update(
-            img, frm.h_xy[frm.h_valid], (frm.lm_ids >= 0)[frm.h_valid],
-            self.tracker.state,
+            img, frm, self.tracker.state,
             tracking_time_ms=self.track_times[-1] * 1000.0,
         )
         if pose is not None:
@@ -214,6 +217,7 @@ class System:
             timestamp, self.camera, self.orb_params, feats_l, und, bear,
             x_right=x_right, depths=depths,
         )
+        frm.prefetch_host()
         if self.marker_detector is not None:
             frm.markers_2d = self.marker_detector.detect(gl)
         return frm
@@ -232,25 +236,33 @@ class System:
         img = self._to_gray(img)
         feats = self.extractor.extract(jnp.asarray(img), mask)
         und, bear = self._preprocess(feats.xy)
-        # sample depthmap at keypoints (host)
-        xy = np.asarray(feats.xy)
-        d = np.asarray(depth)
-        xs = np.clip(xy[:, 0].astype(int), 0, d.shape[1] - 1)
-        ys = np.clip(xy[:, 1].astype(int), 0, d.shape[0] - 1)
-        depths = d[ys, xs].astype(np.float32)
-        valid_h = np.asarray(feats.valid)
-        depths = np.where(valid_h & (depths > 0), depths, -1.0)
-        p = self.camera.params
-        und_h = np.asarray(und)
-        x_right = np.where(
-            depths > 0,
-            und_h[:, 0] - float(p.focal_x_baseline) / np.maximum(depths, 1e-6),
-            -1.0,
-        ).astype(np.float32)
+        # sample the depthmap at keypoint coordinates ON DEVICE: a host-side
+        # gather here would block on the keypoint readback (~30 ms round trip
+        # on the tunneled runtime); reference samples on host (system.cc:500+)
+        # because its extraction is host-side — ours is not
+        if self._sample_depth is None:
+            fxb = float(self.camera.params.focal_x_baseline)
+
+            @jax.jit
+            def _sample_depth(depth_map, xy, valid, und_xy):
+                h, w = depth_map.shape
+                xs = jnp.clip(xy[:, 0].astype(jnp.int32), 0, w - 1)
+                ys = jnp.clip(xy[:, 1].astype(jnp.int32), 0, h - 1)
+                d = depth_map[ys, xs].astype(jnp.float32)
+                d = jnp.where(valid & (d > 0), d, -1.0)
+                x_right = jnp.where(
+                    d > 0, und_xy[:, 0] - fxb / jnp.maximum(d, 1e-6), -1.0)
+                return d, x_right
+
+            self._sample_depth = _sample_depth
+        depths, x_right = self._sample_depth(
+            jnp.asarray(np.asarray(depth, np.float32)), feats.xy,
+            feats.valid, und)
         frm = Frame(
             timestamp, self.camera, self.orb_params, feats, und, bear,
-            x_right=jnp.asarray(x_right), depths=jnp.asarray(depths),
+            x_right=x_right, depths=depths,
         )
+        frm.prefetch_host()
         if self.marker_detector is not None:
             frm.markers_2d = self.marker_detector.detect(img)
         return frm

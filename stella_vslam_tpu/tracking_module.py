@@ -40,7 +40,7 @@ STATE_LOST = "Lost"
 
 
 class _Pending:
-    __slots__ = ("frm", "out", "last_frm", "tbl_ids")
+    __slots__ = ("frm", "out", "last_frm", "tbl_ids", "host_packed", "fetched")
 
     def __init__(self, frm, out, last_frm, tbl_ids):
         self.frm = frm
@@ -52,6 +52,50 @@ class _Pending:
         # not the table's current ids (refresh rebinds a new ids array, so
         # holding the reference is a true snapshot)
         self.tbl_ids = tbl_ids
+        self.host_packed = None  # numpy result, set by the fetcher thread
+        self.fetched = None  # threading.Event, set when host_packed landed
+
+
+class _ResultFetcher:
+    """Background materialization of device results, batched.
+
+    The tunneled runtime only flushes/completes queued device work when a
+    blocking call forces it, and EVERY blocking fetch costs a ~10-30 ms round
+    trip regardless of size. Two levers amortize that: (1) K frames' packed
+    outputs are stacked into one device array and fetched with ONE round
+    trip; (2) the fetch runs on a worker thread, overlapping the round trip
+    with the tracking thread's dispatch of subsequent frames (jax releases
+    the GIL while waiting)."""
+
+    def __init__(self):
+        self._pool = None
+
+    def submit_batch(self, ps):
+        import threading
+        for p in ps:
+            p.fetched = threading.Event()
+        if self._pool is None:
+            import concurrent.futures as _cf
+            self._pool = _cf.ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="track-fetch")
+        stacked = jnp.stack([p.out.packed for p in ps])
+        try:
+            stacked.copy_to_host_async()
+        except Exception:
+            pass
+        self._pool.submit(self._fetch, stacked, list(ps))
+
+    @staticmethod
+    def _fetch(stacked, ps):
+        try:
+            rows = np.asarray(stacked)
+            for i, p in enumerate(ps):
+                p.host_packed = rows[i]
+                p.fetched.set()
+        except Exception as e:  # surfaced at finalize
+            for p in ps:
+                p.host_packed = e
+                p.fetched.set()
 
 
 class TrackingModule:
@@ -86,8 +130,16 @@ class TrackingModule:
         # of blocking
         self.pause_is_requested = False
 
-        self._pending = []  # up to 2 in-flight frames (dispatch runs ahead
-        # of finalize so the readback round trip overlaps the next compute)
+        self._pending = []  # in-flight frames: dispatch runs ahead of
+        # finalize so the readback round trip overlaps later frames' compute.
+        # Results are fetched in batches of `fetch_batch` frames (one tunnel
+        # round trip per batch); `max_inflight` leaves the oldest frame a few
+        # frames of slack past its batch submission so the round trip lands
+        # before a forced finalize waits on it.
+        self.fetch_batch = 4
+        self.max_inflight = 7
+        self._batch = []  # dispatched frames not yet submitted for fetch
+        self._fetcher = _ResultFetcher()
         self._discard_pending = False
         # device-chained association + pose state of the last tracked frame
         self._last_assoc_pos = None  # [N,3] device
@@ -171,16 +223,13 @@ class TrackingModule:
                 # through the state machine instead of dispatching
                 return self.feed_frame(frm)
         self._dispatch(frm)
-        if len(self._pending) > 1:
+        while len(self._pending) > self.max_inflight:
             self._finalize_one()
         return self.last_frm.pose_cw if self.last_frm is not None else None
 
     @staticmethod
     def _ready(p: "_Pending") -> bool:
-        try:
-            return bool(p.out.packed.is_ready())
-        except Exception:
-            return True
+        return p.fetched is not None and p.fetched.is_set()
 
     # ------------------------------------------------------------------
     def _dispatch(self, frm: Frame):
@@ -257,12 +306,11 @@ class TrackingModule:
             R_last, t_last, R_prev, t_prev,
             use_motion=use_motion, margin_local=float(margin),
         )
-        # start the async copy of the packed output (overlaps the next frame)
-        try:
-            out.packed.copy_to_host_async()
-        except Exception:
-            pass
-        self._pending.append(_Pending(frm, out, last, tbl.ids))
+        p = _Pending(frm, out, last, tbl.ids)
+        self._pending.append(p)
+        self._batch.append(p)
+        if len(self._batch) >= self.fetch_batch:
+            self._flush_batch()
         # chain device state immediately (used by the NEXT dispatch)
         self._last_assoc_pos = out.assoc_pos
         self._last_assoc_valid = out.assoc_valid
@@ -272,7 +320,13 @@ class TrackingModule:
         self.last_frm = frm
 
     # ------------------------------------------------------------------
+    def _flush_batch(self):
+        if self._batch:
+            self._fetcher.submit_batch(self._batch)
+            self._batch = []
+
     def finalize_pending(self):
+        self._flush_batch()
         while self._pending:
             self._finalize_one()
 
@@ -290,7 +344,13 @@ class TrackingModule:
             return
         frm, out = p.frm, p.out
         n = frm.num_slots
-        packed = np.asarray(out.packed)
+        if p.fetched is None:
+            # not yet submitted for fetch (partial batch forced out early)
+            self._flush_batch()
+        p.fetched.wait()
+        if isinstance(p.host_packed, Exception):
+            raise p.host_packed
+        packed = p.host_packed
         pose12 = packed[:12]
         counts = packed[12:16].astype(np.int64)
         base = 16
@@ -476,6 +536,7 @@ class TrackingModule:
     # ------------------------------------------------------------------
     def reset(self):
         self._pending = []
+        self._batch = []
         self._discard_pending = False
         self._dev_pose = None
         self._dev_pose_prev = None

@@ -82,6 +82,8 @@ def test_relocalization_after_lost():
     # phase 1: build a map over 30 frames
     for i in range(30):
         slam.feed_monocular_frame(world.render(poses[i]), i * 0.2)
+    slam.tracker.finalize_pending()  # drain in-flight frames (pipeline barrier)
+    slam._drain_mapper_inline()
     assert slam.tracker.state == "Tracking"
     assert slam.map_db.num_keyframes() >= 3
     n_kfs = slam.map_db.num_keyframes()
