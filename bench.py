@@ -45,11 +45,13 @@ def main():
         frame_times.append(time.time() - t0)
     slam.shutdown()
 
-    # steady-state: drop compile-warmup frames (first 30) and keyframe frames'
-    # long tail via the median
+    # steady-state sustained throughput: drop compile-warmup frames (first
+    # 30), then use the MEAN so keyframe-event work is amortized honestly
+    # (median would hide it)
     steady = np.asarray(frame_times[30:])
     med = float(np.median(steady))
-    fps = 1.0 / med if med > 0 else 0.0
+    mean = float(np.mean(steady))
+    fps = 1.0 / mean if mean > 0 else 0.0
     tracked = sum(1 for (_, p, _, _) in slam.frame_poses if p is not None)
     sys.stderr.write(
         f"tracked {tracked}/{n_frames} frames, kfs={slam.map_db.num_keyframes()}, "

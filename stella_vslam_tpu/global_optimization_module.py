@@ -21,6 +21,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+from stella_vslam_tpu.util.fetch import fetch_all
+
 from stella_vslam_tpu.module.loop_detector import LoopDetector
 from stella_vslam_tpu.module.tracking_kernels import make_cam_scalars
 from stella_vslam_tpu.ops import lie as lie_np  # noqa: F401  (naming clarity)
@@ -346,9 +348,7 @@ class GlobalOptimizationModule:
             jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(es),
             jnp.asarray(eR), jnp.asarray(et), jnp.ones(E, bool),
         )
-        s_new = np.asarray(res.s_cw)
-        R_new = np.asarray(res.R_cw)
-        t_new = np.asarray(res.t_cw)
+        s_new, R_new, t_new = fetch_all(res.s_cw, res.R_cw, res.t_cw)
         with map_db.lock:
             # remap landmarks via their reference keyframe's
             # landmark-consistent Sim3 before / optimized Sim3 after
@@ -396,9 +396,7 @@ class GlobalOptimizationModule:
                 # a newer loop superseded this BA: discard the results
                 # (reference loop_bundle_adjuster.cc abort path)
                 return
-            camR = np.asarray(res.cam_R)
-            camt = np.asarray(res.cam_t)
-            lm_new = np.asarray(res.lm_pos)
+            camR, camt, lm_new = fetch_all(res.cam_R, res.cam_t, res.lm_pos)
             with map_db.lock:
                 for slot, kf_id in enumerate(kf_slots):
                     if kf_id < 0:

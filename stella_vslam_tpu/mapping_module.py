@@ -30,6 +30,7 @@ from stella_vslam_tpu.module.local_map_cleaner import LocalMapCleaner
 from stella_vslam_tpu.module.mapping_kernels import MappingKernels
 from stella_vslam_tpu.ops.optim import ba as ba_mod
 from stella_vslam_tpu.module.tracking_kernels import make_cam_scalars
+from stella_vslam_tpu.util.fetch import fetch_all
 
 
 class MappingModule:
@@ -202,9 +203,7 @@ class MappingModule:
             stack(lambda o: jnp.asarray(o.trans_cw, dtype=jnp.float32)),
             jnp.asarray(pair_valid),
         )
-        ok_all = np.asarray(res.ok)
-        pos_all = np.asarray(res.pos_w)
-        idx2_all = np.asarray(res.idx2)
+        ok_all, pos_all, idx2_all = fetch_all(res.ok, res.pos_w, res.idx2)
         with map_db.lock:
             for b, other in enumerate(neighbors):
                 ok = ok_all[b]
@@ -304,8 +303,7 @@ class MappingModule:
             jnp.asarray(pad(lm_norm)), jnp.asarray(lm_valid),
             margin=margin,
         )
-        best_all = np.asarray(best_all)
-        acc_all = np.asarray(acc_all)
+        best_all, acc_all = fetch_all(best_all, acc_all)
         with map_db.lock:
             for b, kf in enumerate(keyframes):
                 acc = acc_all[b]
@@ -335,23 +333,24 @@ class MappingModule:
     # ------------------------------------------------------------------
     def local_bundle_adjustment(self, cur: Keyframe):
         map_db = self.map_db
-        prob, lm_ids, kf_slots, marker_rows = self._assemble_local_ba(cur)
+        prob, lm_ids, kf_slots, marker_rows, host = self._assemble_local_ba(cur)
         if prob is None:
             return
         cam = make_cam_scalars(self.camera)
         res = ba_mod.bundle_adjust(prob, cam, model=self.camera.model.name.lower())
-        camR = np.asarray(res.cam_R)
-        camt = np.asarray(res.cam_t)
-        lm_new = np.asarray(res.lm_pos)
-        outlier = np.asarray(res.obs_is_outlier)
-        obs_cam = np.asarray(prob.obs_cam)
-        obs_valid = np.asarray(prob.obs_valid)
+        # grouped fetch: one overlapped round trip instead of four; the
+        # problem inputs stay host-side in `host` (never fetch back uploads)
+        camR, camt, lm_new, outlier = fetch_all(
+            res.cam_R, res.cam_t, res.lm_pos, res.obs_is_outlier)
+        obs_cam = host["obs_cam"]
+        obs_valid = host["obs_valid"]
+        cam_fixed_h = host["cam_fixed"]
         with map_db.lock:
             for slot, kf_id in enumerate(kf_slots):
                 if kf_id < 0:
                     continue
                 kf = map_db.keyframes.get(kf_id)
-                if kf is None or bool(np.asarray(prob.cam_fixed)[slot]):
+                if kf is None or bool(cam_fixed_h[slot]):
                     continue
                 T = np.eye(4)
                 T[:3, :3] = camR[slot]
@@ -409,7 +408,7 @@ class MappingModule:
                         lm_seen.add(int(lm_id))
                         lm_ids.append(int(lm_id))
         if len(lm_ids) < 8 or len(local_ids) < 2:
-            return None, None, None
+            return None, None, None, None, None
         lm_ids = lm_ids[:L]
         # fixed keyframes: other observers
         fixed_ids = []
@@ -491,4 +490,6 @@ class MappingModule:
         )
         lm_ids_padded = lm_ids + [-1] * (L - len(lm_ids))
         kf_slots_padded = kf_slots + [-1] * (K - len(kf_slots))
-        return prob, lm_ids_padded, kf_slots_padded, marker_rows
+        host = {"obs_cam": obs_cam, "obs_valid": obs_valid,
+                "cam_fixed": cam_fixed}
+        return prob, lm_ids_padded, kf_slots_padded, marker_rows, host

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from stella_vslam_tpu.util.fetch import fetch_all
+
 from stella_vslam_tpu.match import robust as robust_match
 from stella_vslam_tpu.ops.optim import sim3 as sim3_opt
 from stella_vslam_tpu.ops.solve import pnp as pnp_solve
@@ -127,9 +129,11 @@ class LoopDetector:
             jnp.asarray(has), scale_factors=self.scale_factors,
             min_num_inliers=15,
         )
-        if not bool(res.valid):
+        valid_h, inl_h, R_pnp, t_pnp = fetch_all(
+            res.valid, res.is_inlier, res.R_cw, res.t_cw)
+        if not bool(valid_h):
             return None
-        inl = np.asarray(res.is_inlier) & has
+        inl = inl_h & has
         if inl.sum() < 15:
             return None
 
@@ -163,8 +167,7 @@ class LoopDetector:
         # 4. Sim3 refinement with mutual reprojection between the two camera
         # frames (reference transform_optimizer usage in loop validation).
         # Frame 1 = current keyframe camera, frame 2 = candidate camera.
-        R_pnp = np.asarray(res.R_cw)  # candidate-map world -> cur camera
-        t_pnp = np.asarray(res.t_cw)
+        # R_pnp/t_pnp: candidate-map world -> cur camera (fetched above)
         # correspondences with positions in BOTH maps
         cur_pos_all = np.zeros((n, 3), np.float32)
         cur_ok = np.zeros(n, bool)

@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from stella_vslam_tpu.util.fetch import fetch_all
+
 from stella_vslam_tpu.match import projection as proj_match
 from stella_vslam_tpu.match import robust as robust_match
 from stella_vslam_tpu.ops.solve import pnp as pnp_solve
@@ -90,19 +92,19 @@ class Relocalizer:
             scale_factors=self.scale_factors,
             min_num_inliers=self.min_num_bow_matches,
         )
-        if not bool(res.valid):
+        valid_h, inl_h = fetch_all(res.valid, res.is_inlier)
+        if not bool(valid_h):
             return False
 
         # 4. pose optimization on the inlier set
-        inl = np.asarray(res.is_inlier) & has
+        inl = inl_h & has
         opt = pose_opt.optimize_pose(
             res.R_cw, res.t_cw, jnp.asarray(pos), frm.undist_xy, frm.x_right,
             H.take_small_table(self.inv_sigma_sq, frm.feats.level),
             jnp.asarray(inl), self.cam_scalars, model=self.model,
         )
-        num = int(opt.num_inliers)
-        R_np = np.asarray(opt.R_cw)
-        t_np = np.asarray(opt.t_cw)
+        num_h, R_np, t_np = fetch_all(opt.num_inliers, opt.R_cw, opt.t_cw)
+        num = int(num_h)
         if num < self.min_num_valid_obs:
             # 5. projection-based refinement against ALL keyframe landmarks
             uv, depth, vis = self.camera.reproject(

@@ -33,6 +33,7 @@ from stella_vslam_tpu.module.initializer import Initializer
 from stella_vslam_tpu.module.keyframe_inserter import KeyframeInserter
 from stella_vslam_tpu.module.tracking_kernels import TrackingKernels, make_cam_scalars
 from stella_vslam_tpu.ops.optim import ba as ba_mod
+from stella_vslam_tpu.util.fetch import fetch_all
 
 STATE_INITIALIZING = "Initializing"
 STATE_TRACKING = "Tracking"
@@ -661,13 +662,11 @@ class TrackingModule:
             prob, make_cam_scalars(self.camera),
             model=self.camera.model.name.lower(),
         )
-        camR = np.asarray(res.cam_R)
-        camt = np.asarray(res.cam_t)
+        camR, camt, lm_new = fetch_all(res.cam_R, res.cam_t, res.lm_pos)
         T = np.eye(4)
         T[:3, :3] = camR[1]
         T[:3, 3] = camt[1]
         kf2.set_pose_cw(T)
-        lm_new = np.asarray(res.lm_pos)
         for l, lm_id in enumerate(lm_ids):
             lm = map_db.landmarks.get(lm_id)
             if lm is not None:
