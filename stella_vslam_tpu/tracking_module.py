@@ -20,6 +20,7 @@ values from the not-yet-finalized previous frame.
 """
 from __future__ import annotations
 
+import threading
 from typing import Optional
 
 import jax.numpy as jnp
@@ -41,7 +42,8 @@ STATE_LOST = "Lost"
 
 
 class _Pending:
-    __slots__ = ("frm", "out", "last_frm", "tbl_ids", "host_packed", "fetched")
+    __slots__ = ("frm", "out", "last_frm", "tbl_ids", "host_packed",
+                 "fetched", "t_dispatch")
 
     def __init__(self, frm, out, last_frm, tbl_ids):
         self.frm = frm
@@ -55,6 +57,8 @@ class _Pending:
         self.tbl_ids = tbl_ids
         self.host_packed = None  # numpy result, set by the fetcher thread
         self.fetched = None  # threading.Event, set when host_packed landed
+        import time as _time
+        self.t_dispatch = _time.monotonic()
 
 
 class _ResultFetcher:
@@ -78,7 +82,7 @@ class _ResultFetcher:
         if self._pool is None:
             import concurrent.futures as _cf
             self._pool = _cf.ThreadPoolExecutor(
-                max_workers=2, thread_name_prefix="track-fetch")
+                max_workers=3, thread_name_prefix="track-fetch")
         stacked = jnp.stack([p.out.packed for p in ps])
         try:
             stacked.copy_to_host_async()
@@ -137,10 +141,24 @@ class TrackingModule:
         # round trip per batch); `max_inflight` leaves the oldest frame a few
         # frames of slack past its batch submission so the round trip lands
         # before a forced finalize waits on it.
+        # Fetch round trips (~40-50 ms loaded) only pipeline while the
+        # dispatch thread keeps running ahead — a blocking wait on the caller
+        # thread collapses the pipeline to one round trip per batch. So
+        # finalization runs on its OWN thread (_fin_loop), consuming pending
+        # frames in order as their batch fetches land; the caller thread
+        # blocks only at the `max_inflight` hard memory/lag bound.
         self.fetch_batch = 4
-        self.max_inflight = 7
+        self.max_inflight = 24
+        self.batch_linger = 0.010  # s: flush a partial batch after this long
+        # (bounds finalize lag for slow real-time feeds, where a batch would
+        # otherwise take fetch_batch camera periods to fill)
         self._batch = []  # dispatched frames not yet submitted for fetch
         self._fetcher = _ResultFetcher()
+        # RLock so the finalize thread's bookkeeping (which may reset() on
+        # loss) and nested finalize_pending() calls re-enter safely;
+        # Condition.wait releases recursive holds in full
+        self._cond = threading.Condition(threading.RLock())
+        self._fin_thread = None
         self._discard_pending = False
         # device-chained association + pose state of the last tracked frame
         self._last_assoc_pos = None  # [N,3] device
@@ -173,7 +191,17 @@ class TrackingModule:
             return None
         if self.state != STATE_TRACKING:
             self.finalize_pending()
+        with self._cond:
+            return self._feed_frame_locked(frm)
 
+    def _feed_frame_locked(self, frm: Frame) -> Optional[np.ndarray]:
+        if self.state != STATE_TRACKING and self._pending:
+            # the finalize thread flipped state between the caller's barrier
+            # and this lock acquisition: drain the (discard-marked) frames
+            # inline so self.finalized stays in frame order
+            self._flush_batch()
+            while self._pending:
+                self._finalize_one()
         if self.state == STATE_INITIALIZING:
             ok = self._initialize(frm)
             if ok:
@@ -210,27 +238,55 @@ class TrackingModule:
                 self._dev_pose_prev = None
             return frm.pose_cw if ok else None
 
-        # STATE_TRACKING: if the previous frame's readback has already landed
-        # (usual case — it has been in flight since its dispatch), finalize it
-        # FIRST so this dispatch sees the freshest map (keyframe insertions,
-        # post-BA landmark positions). Only when the readback is still in
-        # flight do we dispatch ahead of it, overlapping the round trip with
-        # this frame's device compute — the same tracking-vs-mapping freshness
-        # race the reference's 3-thread design has (system.cc:207-210).
-        while self._pending and self._ready(self._pending[0]):
-            self._finalize_one()
-            if self.state != STATE_TRACKING:
-                # finalize flipped us to Lost/Initializing: handle this frame
-                # through the state machine instead of dispatching
-                return self.feed_frame(frm)
+        # STATE_TRACKING: dispatch and hand completion to the finalize
+        # thread. The finalize thread applies results in dispatch order as
+        # each fetch batch lands — the dispatch thread keeps running ahead,
+        # which is what keeps the fetch round trips pipelined (a blocking
+        # wait here collapses throughput to one round trip per batch). This
+        # is the same tracking-vs-mapping freshness race the reference's
+        # 3-thread design has (system.cc:207-210), with the state machine
+        # decisions lagging by the in-flight depth.
         self._dispatch(frm)
-        while len(self._pending) > self.max_inflight:
-            self._finalize_one()
+        self._ensure_fin_thread()
+        self._cond.notify_all()
+        while len(self._pending) > self.max_inflight \
+                and self.state == STATE_TRACKING:
+            self._cond.wait()  # hard memory/lag bound; fin thread drains
         return self.last_frm.pose_cw if self.last_frm is not None else None
 
-    @staticmethod
-    def _ready(p: "_Pending") -> bool:
-        return p.fetched is not None and p.fetched.is_set()
+    # ------------------------------------------------------------------
+    def _ensure_fin_thread(self):
+        if self._fin_thread is None or not self._fin_thread.is_alive():
+            self._fin_thread = threading.Thread(
+                target=self._fin_loop, daemon=True, name="track-finalize")
+            self._fin_thread.start()
+
+    def _fin_loop(self):
+        """Finalize pending frames in dispatch order as their batch fetches
+        land. Holds the tracker lock only for the bookkeeping itself, never
+        while waiting on the tunnel."""
+        import time as _time
+        while True:
+            with self._cond:
+                while not self._pending:
+                    self._cond.wait()
+                p = self._pending[0]
+                if p.fetched is None:
+                    # oldest frame's batch is still accumulating: flush it
+                    # once full or stale, else wait for more dispatches
+                    age = _time.monotonic() - p.t_dispatch
+                    if len(self._batch) >= self.fetch_batch \
+                            or age >= self.batch_linger:
+                        self._flush_batch()
+                    else:
+                        self._cond.wait(timeout=self.batch_linger - age)
+                        continue
+                ev = p.fetched
+            ev.wait()
+            with self._cond:
+                if self._pending and self._pending[0] is p:
+                    self._finalize_one()
+                    self._cond.notify_all()
 
     # ------------------------------------------------------------------
     def _dispatch(self, frm: Frame):
@@ -327,9 +383,16 @@ class TrackingModule:
             self._batch = []
 
     def finalize_pending(self):
-        self._flush_batch()
-        while self._pending:
-            self._finalize_one()
+        """Barrier: all dispatched frames are finalized on return."""
+        with self._cond:
+            self._flush_batch()
+            if self._fin_thread is not None and self._fin_thread.is_alive():
+                self._cond.notify_all()
+                while self._pending:
+                    self._cond.wait()
+            else:
+                while self._pending:
+                    self._finalize_one()
 
     def _finalize_one(self):
         if not self._pending:
@@ -536,6 +599,13 @@ class TrackingModule:
 
     # ------------------------------------------------------------------
     def reset(self):
+        # safe from both the caller thread and the finalize thread (RLock);
+        # notify wakes any bound-wait in feed_frame / finalize_pending
+        with self._cond:
+            self._reset_locked()
+            self._cond.notify_all()
+
+    def _reset_locked(self):
         self._pending = []
         self._batch = []
         self._discard_pending = False
