@@ -147,8 +147,11 @@ class TrackingModule:
         # finalization runs on its OWN thread (_fin_loop), consuming pending
         # frames in order as their batch fetches land; the caller thread
         # blocks only at the `max_inflight` hard memory/lag bound.
-        self.fetch_batch = 4
-        self.max_inflight = 24
+        import os
+        # swept on-chip: batch 8 gives mean 9.7 ms/frame (4 -> 11.2, 16 ->
+        # rare half-second stalls from over-buffering)
+        self.fetch_batch = int(os.environ.get("SVT_FETCH_BATCH", "8"))
+        self.max_inflight = int(os.environ.get("SVT_MAX_INFLIGHT", "40"))
         self.batch_linger = 0.010  # s: flush a partial batch after this long
         # (bounds finalize lag for slow real-time feeds, where a batch would
         # otherwise take fetch_batch camera periods to fill)
