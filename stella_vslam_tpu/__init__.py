@@ -17,3 +17,17 @@ import jax as _jax
 # centimeter-scale map error. Hot kernels that tolerate bf16 (e.g. descriptor
 # distance matrices) opt in explicitly with precision=DEFAULT/bfloat16.
 _jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: first compile of the fused per-frame programs
+# costs minutes over the tunneled backend; cached re-runs (tests, bench,
+# dataset CLIs) start in seconds. Kept inside the repo dir (gitignored).
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "SVT_JAX_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass

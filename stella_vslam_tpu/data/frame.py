@@ -24,18 +24,21 @@ from stella_vslam_tpu.feature.orb_params import OrbParams
 _NEG_ONES_CACHE: dict = {}
 
 
-@jax.jit
-def _pack_host_fn(xy, undist, bearings, level, angle, valid, response,
-                  x_right, depths, desc):
+def pack_host_cols(xy, undist, bearings, level, angle, valid, response,
+                   x_right, depths, desc):
     """Pack all host-mirror tensors into one [N,21] f32 buffer: xy(2)
     undist(2) bearings(3) level angle valid response x_right depths (1 each)
-    + desc(8, u32 bitcast to f32) — one async copy instead of ten."""
+    + desc(8, u32 bitcast to f32) — one async copy instead of ten. Pure;
+    callable inside larger jitted programs (see System's fused preprocess)."""
     cols = [xy, undist, bearings,
             level.astype(jnp.float32)[:, None],
             angle[:, None], valid.astype(jnp.float32)[:, None],
             response[:, None], x_right[:, None], depths[:, None],
             jax.lax.bitcast_convert_type(desc, jnp.float32)]
     return jnp.concatenate(cols, axis=1)
+
+
+_pack_host_fn = jax.jit(pack_host_cols)
 
 
 class Frame:
@@ -90,12 +93,17 @@ class Frame:
         costs a ~30 ms round trip regardless of size and even per-array async
         copies cost ~0.4 ms of client chatter each — one packed copy issued at
         dispatch time lands for free, and later `h_*` accesses are ~0 ms."""
-        self._packed_host = _pack_host_fn(
+        self.attach_packed_host(_pack_host_fn(
             self.feats.xy, self.undist_xy, self.bearings, self.feats.level,
             self.feats.angle, self.feats.valid, self.feats.response,
-            self.x_right, self.depths, self.feats.desc)
+            self.x_right, self.depths, self.feats.desc))
+
+    def attach_packed_host(self, packed):
+        """Adopt an externally computed [N,21] host-mirror pack (e.g. from the
+        System's fused preprocess program) and start its async host copy."""
+        self._packed_host = packed
         try:
-            self._packed_host.copy_to_host_async()
+            packed.copy_to_host_async()
         except Exception:
             pass
 

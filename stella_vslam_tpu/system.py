@@ -90,6 +90,26 @@ class System:
 
         self._preprocess = _preprocess
 
+        # fused mono preprocess: extraction + undistort + bearings + host-
+        # mirror pack in ONE device program — each separate jit call costs
+        # ~0.3-1.5 ms of client dispatch overhead on the tunneled runtime
+        ex = self.extractor
+
+        @jax.jit
+        def _mono_preprocess(img):
+            from stella_vslam_tpu.data.frame import pack_host_cols
+
+            feats = ex._extract_impl(img, None)[0]
+            und = cam.undistort(feats.xy)
+            bear = cam.bearings(und)
+            neg1 = jnp.full((feats.xy.shape[0],), -1.0)
+            packed = pack_host_cols(
+                feats.xy, und, bear, feats.level, feats.angle, feats.valid,
+                feats.response, neg1, neg1, feats.desc)
+            return feats, und, bear, packed
+
+        self._mono_preprocess = _mono_preprocess
+
         # fiducial markers (reference marker_detector/aruco, MarkerModel yaml)
         self.marker_detector = None
         mm = cfg.section("MarkerModel")
@@ -151,10 +171,15 @@ class System:
     # ------------------------------------------------------------------
     def create_monocular_frame(self, img, timestamp: float, mask=None) -> Frame:
         img = self._to_gray(img)
-        feats = self.extractor.extract(jnp.asarray(img), mask)
-        und, bear = self._preprocess(feats.xy)
-        frm = Frame(timestamp, self.camera, self.orb_params, feats, und, bear)
-        frm.prefetch_host()
+        if mask is None:
+            feats, und, bear, packed = self._mono_preprocess(jnp.asarray(img))
+            frm = Frame(timestamp, self.camera, self.orb_params, feats, und, bear)
+            frm.attach_packed_host(packed)
+        else:
+            feats = self.extractor.extract(jnp.asarray(img), mask)
+            und, bear = self._preprocess(feats.xy)
+            frm = Frame(timestamp, self.camera, self.orb_params, feats, und, bear)
+            frm.prefetch_host()
         if self.marker_detector is not None:
             frm.markers_2d = self.marker_detector.detect(img)
         return frm

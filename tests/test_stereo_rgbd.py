@@ -101,3 +101,39 @@ def test_rgbd_slam_instant_map():
     assert slam.map_db.num_landmarks() > 80
     tracked = sum(1 for (_, p, _, _) in slam.frame_poses if p is not None)
     assert tracked >= 8
+
+
+def test_stereo_rectifier_identity_and_distortion():
+    """StereoRectifier with identity R and zero distortion is a no-op away
+    from borders; with distortion it must move pixels (reference
+    util/stereo_rectifier.cc remap tables)."""
+    import numpy as np
+    from stella_vslam_tpu.camera.base import camera_from_yaml
+    from stella_vslam_tpu.util.stereo_rectifier import StereoRectifier
+
+    cam = camera_from_yaml({
+        "model": "perspective", "setup": "stereo",
+        "fx": 200.0, "fy": 200.0, "cx": 160.0, "cy": 120.0,
+        "k1": 0.0, "k2": 0.0, "p1": 0.0, "p2": 0.0, "k3": 0.0,
+        "cols": 320, "rows": 240, "fps": 30.0,
+        "focal_x_baseline": 20.0,
+    })
+    K = [200.0, 0.0, 160.0, 0.0, 200.0, 120.0, 0.0, 0.0, 1.0]
+    R = [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+    params_id = {
+        "K_left": K, "D_left": [0.0] * 5, "R_left": R,
+        "K_right": K, "D_right": [0.0] * 5, "R_right": R,
+    }
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (240, 320), np.uint8)
+    rect = StereoRectifier(cam, params_id)
+    out_l, out_r = rect.rectify(img, img)
+    inner = (slice(40, 200), slice(40, 280))
+    assert np.array_equal(out_l[inner], img[inner])
+    assert np.array_equal(out_r[inner], img[inner])
+
+    params_dist = dict(params_id)
+    params_dist["D_left"] = [-0.3, 0.1, 0.0, 0.0, 0.0]
+    rect2 = StereoRectifier(cam, params_dist)
+    out_l2, _ = rect2.rectify(img, img)
+    assert not np.array_equal(out_l2[inner], img[inner])
