@@ -26,8 +26,9 @@ import os as _os
 _cache_dir = _os.environ.get(
     "SVT_JAX_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
 )
-try:
-    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+if _cache_dir and _cache_dir != "0":
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -53,6 +53,9 @@ class System:
             self.map_db, self.camera, self.orb_params,
             use_fixed_seed=cfg.get("Initializer", "use_fixed_seed", False),
         )
+        # inline mapping implies deterministic single-thread semantics all
+        # the way down (the reference's DETERMINISTIC switch)
+        self.tracker.synchronous = inline_mapping
         self.mapper = MappingModule(self.map_db, self.camera, self.orb_params)
         self.tracker.mapper = self.mapper
         self.tracker.keyfrm_inserter.mapper = self.mapper
@@ -110,6 +113,41 @@ class System:
 
         self._mono_preprocess = _mono_preprocess
 
+        # fused stereo preprocess: both extractions (one vmapped program),
+        # row matching, undistort/bearings, and host-mirror pack in ONE call
+        if self.camera.setup == Setup.STEREO:
+            from stella_vslam_tpu.match.stereo import stereo_match
+            from stella_vslam_tpu.data.frame import pack_host_cols
+
+            orb = self.orb_params
+            sf = jnp.asarray(orb.scale_factors, dtype=jnp.float32)
+            isf = jnp.asarray(orb.inv_scale_factors, dtype=jnp.float32)
+
+            @jax.jit
+            def _stereo_preprocess(img_l, img_r):
+                imgs = jnp.stack([img_l.astype(jnp.float32),
+                                  img_r.astype(jnp.float32)])
+                feats, patches = ex._extract_pair(imgs)
+                f_l = jax.tree_util.tree_map(lambda x: x[0], feats)
+                f_r = jax.tree_util.tree_map(lambda x: x[1], feats)
+                p = cam.params
+                x_right, depths = stereo_match(
+                    f_l.xy, f_l.level, f_l.desc, f_l.valid, patches[0],
+                    f_r.xy, f_r.level, f_r.desc, f_r.valid, patches[1],
+                    scale_factors=sf, inv_scale_factors=isf,
+                    focal_x_baseline=p.focal_x_baseline,
+                    true_baseline=jnp.float32(cam.true_baseline),
+                    num_levels=orb.num_levels,
+                )
+                und = cam.undistort(f_l.xy)
+                bear = cam.bearings(und)
+                packed = pack_host_cols(
+                    f_l.xy, und, bear, f_l.level, f_l.angle, f_l.valid,
+                    f_l.response, x_right, depths, f_l.desc)
+                return f_l, und, bear, x_right, depths, packed
+
+            self._stereo_preprocess = _stereo_preprocess
+
         # fiducial markers (reference marker_detector/aruco, MarkerModel yaml)
         self.marker_detector = None
         mm = cfg.section("MarkerModel")
@@ -134,7 +172,7 @@ class System:
         # stats
         self.track_times = []
         self._running = False
-        self._sample_depth = None  # lazily-jitted RGBD depth sampler
+        self._rgbd_preprocess = None  # lazily-jitted fused RGBD program
 
     # ------------------------------------------------------------------
     def startup(self, need_initialize: bool = True):
@@ -219,30 +257,17 @@ class System:
                             mask=None) -> Frame:
         """Rectified stereo pair -> row-matched depths
         (reference system.cc:426-470: parallel L/R extraction + stereo match;
-        here both extractions are async device dispatches)."""
-        from stella_vslam_tpu.match.stereo import stereo_match
-
+        here extraction, row matching, undistortion and the host-mirror pack
+        are ONE fused device program)."""
         gl = self._to_gray(img_left)
         gr = self._to_gray(img_right)
-        (feats_l, patch_l), (feats_r, patch_r) = (
-            self.extractor.extract_pair_with_patches(gl, gr)
-        )
-        p = self.camera.params
-        x_right, depths = stereo_match(
-            feats_l.xy, feats_l.level, feats_l.desc, feats_l.valid, patch_l,
-            feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid, patch_r,
-            scale_factors=jnp.asarray(self.orb_params.scale_factors, dtype=jnp.float32),
-            inv_scale_factors=jnp.asarray(self.orb_params.inv_scale_factors, dtype=jnp.float32),
-            focal_x_baseline=p.focal_x_baseline,
-            true_baseline=jnp.float32(self.camera.true_baseline),
-            num_levels=self.orb_params.num_levels,
-        )
-        und, bear = self._preprocess(feats_l.xy)
+        feats_l, und, bear, x_right, depths, packed = self._stereo_preprocess(
+            jnp.asarray(gl), jnp.asarray(gr))
         frm = Frame(
             timestamp, self.camera, self.orb_params, feats_l, und, bear,
             x_right=x_right, depths=depths,
         )
-        frm.prefetch_host()
+        frm.attach_packed_host(packed)
         if self.marker_detector is not None:
             frm.markers_2d = self.marker_detector.detect(gl)
         return frm
@@ -259,35 +284,42 @@ class System:
 
     def create_RGBD_frame(self, img, depth, timestamp: float, mask=None) -> Frame:
         img = self._to_gray(img)
-        feats = self.extractor.extract(jnp.asarray(img), mask)
-        und, bear = self._preprocess(feats.xy)
-        # sample the depthmap at keypoint coordinates ON DEVICE: a host-side
-        # gather here would block on the keypoint readback (~30 ms round trip
-        # on the tunneled runtime); reference samples on host (system.cc:500+)
-        # because its extraction is host-side — ours is not
-        if self._sample_depth is None:
+        # ONE fused program: extraction + undistort/bearings + on-device
+        # depthmap sampling + host-mirror pack (a host-side depth gather
+        # would block on the keypoint readback, ~30 ms on the tunnel;
+        # the reference samples on host, system.cc:500+, because its
+        # extraction is host-side — ours is not)
+        if self._rgbd_preprocess is None:
             fxb = float(self.camera.params.focal_x_baseline)
+            cam = self.camera
+            ex = self.extractor
+            from stella_vslam_tpu.data.frame import pack_host_cols
 
             @jax.jit
-            def _sample_depth(depth_map, xy, valid, und_xy):
+            def _rgbd_preprocess(image, depth_map):
+                feats = ex._extract_impl(image, None)[0]
+                und = cam.undistort(feats.xy)
+                bear = cam.bearings(und)
                 h, w = depth_map.shape
-                xs = jnp.clip(xy[:, 0].astype(jnp.int32), 0, w - 1)
-                ys = jnp.clip(xy[:, 1].astype(jnp.int32), 0, h - 1)
+                xs = jnp.clip(feats.xy[:, 0].astype(jnp.int32), 0, w - 1)
+                ys = jnp.clip(feats.xy[:, 1].astype(jnp.int32), 0, h - 1)
                 d = depth_map[ys, xs].astype(jnp.float32)
-                d = jnp.where(valid & (d > 0), d, -1.0)
+                d = jnp.where(feats.valid & (d > 0), d, -1.0)
                 x_right = jnp.where(
-                    d > 0, und_xy[:, 0] - fxb / jnp.maximum(d, 1e-6), -1.0)
-                return d, x_right
+                    d > 0, und[:, 0] - fxb / jnp.maximum(d, 1e-6), -1.0)
+                packed = pack_host_cols(
+                    feats.xy, und, bear, feats.level, feats.angle,
+                    feats.valid, feats.response, x_right, d, feats.desc)
+                return feats, und, bear, x_right, d, packed
 
-            self._sample_depth = _sample_depth
-        depths, x_right = self._sample_depth(
-            jnp.asarray(np.asarray(depth, np.float32)), feats.xy,
-            feats.valid, und)
+            self._rgbd_preprocess = _rgbd_preprocess
+        feats, und, bear, x_right, depths, packed = self._rgbd_preprocess(
+            jnp.asarray(img), jnp.asarray(np.asarray(depth, np.float32)))
         frm = Frame(
             timestamp, self.camera, self.orb_params, feats, und, bear,
             x_right=x_right, depths=depths,
         )
-        frm.prefetch_host()
+        frm.attach_packed_host(packed)
         if self.marker_detector is not None:
             frm.markers_2d = self.marker_detector.detect(img)
         return frm

@@ -162,6 +162,12 @@ class TrackingModule:
         # Condition.wait releases recursive holds in full
         self._cond = threading.Condition(threading.RLock())
         self._fin_thread = None
+        # synchronous=True finalizes every frame inline on the caller thread
+        # (no fin thread): fully deterministic, used by inline_mapping tests
+        # and any caller that needs the reference's DETERMINISTIC behavior
+        # (type.h:158-171). The async path trades determinism of keyframe
+        # cadence for pipelined fetch round trips.
+        self.synchronous = False
         self._discard_pending = False
         # device-chained association + pose state of the last tracked frame
         self._last_assoc_pos = None  # [N,3] device
@@ -250,6 +256,11 @@ class TrackingModule:
         # 3-thread design has (system.cc:207-210), with the state machine
         # decisions lagging by the in-flight depth.
         self._dispatch(frm)
+        if self.synchronous:
+            self._flush_batch()
+            while self._pending:
+                self._finalize_one()
+            return self.last_frm.pose_cw if self.last_frm is not None else None
         self._ensure_fin_thread()
         self._cond.notify_all()
         while len(self._pending) > self.max_inflight \

@@ -6,6 +6,10 @@ of conftest (pytest imports conftest before test modules import jax).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the ambient env pins axon (TPU tunnel)
+# no persistent compile cache under tests: XLA:CPU AOT artifacts record the
+# COMPILE machine's feature flags and loading them on a different host warns
+# of potential SIGILL; CPU compiles are cheap anyway
+os.environ["SVT_JAX_CACHE"] = "0"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
