@@ -23,7 +23,11 @@ import jax.numpy as jnp
 from stella_vslam_tpu.ops import lie
 from stella_vslam_tpu.ops.solve import ransac
 
-COS_ANGLE_THR = float(jnp.cos(1.0 * jnp.pi / 180.0))
+import math
+
+# pure host constant: a jnp expression here would dispatch to the device AT
+# IMPORT TIME and block behind any queued tunnel work
+COS_ANGLE_THR = math.cos(math.pi / 180.0)
 
 
 class EssentialResult(NamedTuple):

@@ -265,7 +265,10 @@ class TrackingModule:
         self._cond.notify_all()
         while len(self._pending) > self.max_inflight \
                 and self.state == STATE_TRACKING:
-            self._cond.wait()  # hard memory/lag bound; fin thread drains
+            # hard memory/lag bound; fin thread drains. Timed wait + thread
+            # re-check so a crashed finalize thread cannot strand the caller.
+            self._cond.wait(timeout=1.0)
+            self._ensure_fin_thread()
         return self.last_frm.pose_cw if self.last_frm is not None else None
 
     # ------------------------------------------------------------------
@@ -299,7 +302,18 @@ class TrackingModule:
             ev.wait()
             with self._cond:
                 if self._pending and self._pending[0] is p:
-                    self._finalize_one()
+                    try:
+                        self._finalize_one()
+                    except Exception:
+                        # surface but never kill the loop: a dead finalize
+                        # thread would leave feed_frame's bound-wait stuck
+                        import traceback
+                        traceback.print_exc()
+                        if self._pending and self._pending[0] is p:
+                            self._pending.pop(0)
+                        self.finalized.append(
+                            (p.frm.id, p.frm.timestamp, None,
+                             p.frm.ref_keyfrm_id, None))
                     self._cond.notify_all()
 
     # ------------------------------------------------------------------
@@ -403,10 +417,12 @@ class TrackingModule:
             if self._fin_thread is not None and self._fin_thread.is_alive():
                 self._cond.notify_all()
                 while self._pending:
-                    self._cond.wait()
-            else:
-                while self._pending:
-                    self._finalize_one()
+                    self._cond.wait(timeout=1.0)
+                    if self._fin_thread is None \
+                            or not self._fin_thread.is_alive():
+                        break
+            while self._pending:
+                self._finalize_one()
 
     def _finalize_one(self):
         if not self._pending:
