@@ -10,6 +10,7 @@
 //
 // C ABI (ctypes-consumed; no pybind11 dependency by design).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -23,11 +24,42 @@ struct Obs {
     int32_t idx;
 };
 
+struct KfData {
+    // immutable per-keyframe observation data registered once at insertion
+    std::vector<uint32_t> desc;  // n*8 packed 256-bit descriptors
+    std::vector<int32_t> level;  // n keypoint octaves
+};
+
 struct Store {
     // landmark id -> observation list (insertion-ordered, keyframe ids are
     // monotone in practice, matching the reference's id-ordered map)
     std::unordered_map<int64_t, std::vector<Obs>> obs;
+    std::unordered_map<int64_t, KfData> kfs;
 };
+
+int32_t pick_median_hamming(const uint32_t* descs, int32_t n) {
+    if (n <= 0) return -1;
+    if (n == 1) return 0;
+    std::vector<int32_t> dist(n);
+    int32_t best = 0;
+    double best_med = 1e18;
+    for (int32_t i = 0; i < n; ++i) {
+        for (int32_t j = 0; j < n; ++j) {
+            int32_t d = 0;
+            for (int32_t w = 0; w < 8; ++w) {
+                d += __builtin_popcount(descs[i * 8 + w] ^ descs[j * 8 + w]);
+            }
+            dist[j] = d;
+        }
+        std::nth_element(dist.begin(), dist.begin() + n / 2, dist.end());
+        double med = dist[n / 2];
+        if (med < best_med) {
+            best_med = med;
+            best = i;
+        }
+    }
+    return best;
+}
 
 }  // namespace
 
@@ -154,27 +186,107 @@ void store_assemble_ba(void* s, const int64_t* lm_ids, int32_t L,
 // median Hamming distance to all others (reference landmark.cc
 // compute_descriptor). Returns the winning row index.
 int32_t median_hamming_descriptor(const uint32_t* descs, int32_t n) {
-    if (n <= 0) return -1;
-    if (n == 1) return 0;
-    std::vector<int32_t> dist(n);
-    int32_t best = 0;
-    double best_med = 1e18;
-    for (int32_t i = 0; i < n; ++i) {
-        for (int32_t j = 0; j < n; ++j) {
-            int32_t d = 0;
-            for (int32_t w = 0; w < 8; ++w) {
-                d += __builtin_popcount(descs[i * 8 + w] ^ descs[j * 8 + w]);
+    return pick_median_hamming(descs, n);
+}
+
+// ---- per-keyframe observation registry (immutable descriptors/levels) ----
+
+void store_register_keyframe(void* s, int64_t kf_id, const uint32_t* desc,
+                             const int32_t* level, int32_t n) {
+    auto& kf = static_cast<Store*>(s)->kfs[kf_id];
+    kf.desc.assign(desc, desc + (size_t)n * 8);
+    kf.level.assign(level, level + n);
+}
+
+void store_erase_keyframe_data(void* s, int64_t kf_id) {
+    static_cast<Store*>(s)->kfs.erase(kf_id);
+}
+
+// Batched landmark statistics refresh (reference landmark.cc
+// compute_descriptor + update_mean_normal_and_obs_scale_variance), the
+// per-keyframe hot path the Python layer was spending ~0.5 s/keyframe on.
+// kf_ids/kf_centers: CURRENT camera centers of all live keyframes (centers
+// move with every BA, so they are passed per call; descriptors/levels come
+// from the immutable registry). out_flags bit0: descriptor written, bit1:
+// normal written, bit2: distance range written.
+void store_batch_landmark_refresh(
+    void* s, const int64_t* lm_ids, int32_t M, const double* lm_pos,
+    const int64_t* ref_kf_ids, const int64_t* kf_ids,
+    const double* kf_centers, int32_t K, const double* scale_factors,
+    int32_t num_levels, uint32_t* out_desc, double* out_normal,
+    double* out_dmin, double* out_dmax, uint8_t* out_flags) {
+    Store* st = static_cast<Store*>(s);
+    std::unordered_map<int64_t, int32_t> row_of;
+    row_of.reserve(K * 2);
+    for (int32_t i = 0; i < K; ++i) row_of[kf_ids[i]] = i;
+    std::vector<uint32_t> descs;
+    for (int32_t m = 0; m < M; ++m) {
+        out_flags[m] = 0;
+        auto it = st->obs.find(lm_ids[m]);
+        if (it == st->obs.end() || it->second.empty()) continue;
+        const auto& obs = it->second;
+        // representative descriptor
+        descs.clear();
+        for (const auto& o : obs) {
+            auto kit = st->kfs.find(o.kf_id);
+            if (kit == st->kfs.end()) continue;
+            const auto& kf = kit->second;
+            if ((size_t)o.idx * 8 + 8 > kf.desc.size()) continue;
+            descs.insert(descs.end(), &kf.desc[(size_t)o.idx * 8],
+                         &kf.desc[(size_t)o.idx * 8 + 8]);
+        }
+        int32_t nd = (int32_t)(descs.size() / 8);
+        if (nd > 0) {
+            int32_t w = pick_median_hamming(descs.data(), nd);
+            std::memcpy(out_desc + (size_t)m * 8, &descs[(size_t)w * 8],
+                        8 * sizeof(uint32_t));
+            out_flags[m] |= 1;
+        }
+        // mean viewing normal
+        const double* p = lm_pos + (size_t)m * 3;
+        double nsum[3] = {0, 0, 0};
+        int32_t nn = 0;
+        for (const auto& o : obs) {
+            auto rit = row_of.find(o.kf_id);
+            if (rit == row_of.end()) continue;
+            const double* c = kf_centers + (size_t)rit->second * 3;
+            double v[3] = {p[0] - c[0], p[1] - c[1], p[2] - c[2]};
+            double nrm = std::sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2]);
+            if (nrm > 1e-9) {
+                nsum[0] += v[0] / nrm;
+                nsum[1] += v[1] / nrm;
+                nsum[2] += v[2] / nrm;
+                ++nn;
             }
-            dist[j] = d;
         }
-        std::nth_element(dist.begin(), dist.begin() + n / 2, dist.end());
-        double med = dist[n / 2];
-        if (med < best_med) {
-            best_med = med;
-            best = i;
+        if (nn > 0) {
+            double nrm = std::sqrt(nsum[0] * nsum[0] + nsum[1] * nsum[1] +
+                                   nsum[2] * nsum[2]);
+            double inv = nrm > 1e-9 ? 1.0 / nrm : 1.0 / nn;
+            out_normal[(size_t)m * 3 + 0] = nsum[0] * inv;
+            out_normal[(size_t)m * 3 + 1] = nsum[1] * inv;
+            out_normal[(size_t)m * 3 + 2] = nsum[2] * inv;
+            out_flags[m] |= 2;
         }
+        // ORB-scale valid distance range from the reference observation
+        auto rit = row_of.find(ref_kf_ids[m]);
+        auto kit = st->kfs.find(ref_kf_ids[m]);
+        if (rit == row_of.end() || kit == st->kfs.end()) continue;
+        int32_t ref_idx = -1;
+        for (const auto& o : obs) {
+            if (o.kf_id == ref_kf_ids[m]) { ref_idx = o.idx; break; }
+        }
+        if (ref_idx < 0 || ref_idx >= (int32_t)kit->second.level.size())
+            continue;
+        const double* c = kf_centers + (size_t)rit->second * 3;
+        double v[3] = {p[0] - c[0], p[1] - c[1], p[2] - c[2]};
+        double dist = std::sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2]);
+        int32_t lvl = kit->second.level[ref_idx];
+        if (lvl < 0 || lvl >= num_levels) continue;
+        out_dmax[m] = dist * scale_factors[lvl];
+        out_dmin[m] = out_dmax[m] / scale_factors[num_levels - 1];
+        out_flags[m] |= 4;
     }
-    return best;
 }
 
 }  // extern "C"

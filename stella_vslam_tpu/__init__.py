@@ -29,6 +29,11 @@ _cache_dir = _os.environ.get(
 if _cache_dir and _cache_dir != "0":
     try:
         _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache EVERYTHING: on the tunneled backend even a trivial eager op
+        # (add, iota, convert_element_type...) costs ~0.35 s to compile
+        # remotely, and a cold process hits dozens of them before the first
+        # frame — with the default 1.0 s threshold they were recompiled in
+        # every process, ~10 s of pure startup overhead
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass

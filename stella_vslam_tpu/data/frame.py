@@ -70,7 +70,7 @@ class Frame:
         if x_right is None or depths is None:
             neg1 = _NEG_ONES_CACHE.get(n)
             if neg1 is None:
-                neg1 = _NEG_ONES_CACHE[n] = jnp.full((n,), -1.0)
+                neg1 = _NEG_ONES_CACHE[n] = jnp.full((n,), -1.0, dtype=jnp.float32)
         self.x_right = x_right if x_right is not None else neg1
         self.depths = depths if depths is not None else neg1
 

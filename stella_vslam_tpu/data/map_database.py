@@ -165,6 +165,10 @@ class MapDatabase:
     def add_keyframe(self, kf: Keyframe):
         with self.lock:
             self.keyframes[kf.id] = kf
+            try:
+                self.assoc_store.register_keyframe(kf.id, kf.h_desc, kf.h_level)
+            except Exception:
+                pass  # keyframes without host mirrors fall back to Python stats
             if self.origin_keyfrm_id is None:
                 self.origin_keyfrm_id = kf.id
 
@@ -202,11 +206,15 @@ class MapDatabase:
             kf.graph_node.erase_all_connections(self)
             kf.graph_node.recompute_spanning_parent_on_erase(self)
             del self.keyframes[kf_id]
+            self.assoc_store.erase_keyframe_data(kf_id)
             for cb in self.on_erase_keyframe:
                 cb(kf_id)
 
-    def replace_landmark(self, old: Landmark, new: Landmark):
-        """reference landmark::replace — move observations to `new`."""
+    def replace_landmark(self, old: Landmark, new: Landmark,
+                         refresh: bool = True):
+        """reference landmark::replace — move observations to `new`.
+        refresh=False lets batch callers (fuse) defer the statistics update
+        to one batch_refresh_landmark_stats call."""
         with self.lock:
             if old.id == new.id:
                 return
@@ -231,8 +239,45 @@ class MapDatabase:
             self.replaced_ids[old.id] = new.id
             self.landmarks.pop(old.id, None)
             self.assoc_store.erase_landmark(old.id)
-            new.compute_descriptor(self)
-            new.update_mean_normal_and_obs_scale_variance(self)
+            if refresh:
+                new.compute_descriptor(self)
+                new.update_mean_normal_and_obs_scale_variance(self)
+
+    def batch_refresh_landmark_stats(self, lms, scale_factors):
+        """Batched equivalent of per-landmark compute_descriptor +
+        update_mean_normal_and_obs_scale_variance, computed in the native
+        map core with the GIL released. The per-landmark Python versions
+        cost ~0.15 ms each; a mapped keyframe touches thousands of
+        landmarks, which made this the mapper's single biggest host cost."""
+        with self.lock:
+            lms = [
+                lm for lm in lms
+                if lm is not None and not lm.will_be_erased and lm.observations
+            ]
+            if not lms:
+                return
+            kfs = [
+                kf for kf in self.keyframes.values() if not kf.will_be_erased
+            ]
+            if not kfs:
+                return
+            kf_ids = np.array([kf.id for kf in kfs], np.int64)
+            centers = np.stack([kf.cam_center for kf in kfs])
+            lm_ids = np.array([lm.id for lm in lms], np.int64)
+            lm_pos = np.stack([lm.pos_w for lm in lms])
+            ref_ids = np.array([lm.ref_keyfrm_id for lm in lms], np.int64)
+            desc, normal, dmin, dmax, flags = \
+                self.assoc_store.batch_landmark_refresh(
+                    lm_ids, lm_pos, ref_ids, kf_ids, centers, scale_factors)
+            for i, lm in enumerate(lms):
+                f = flags[i]
+                if f & 1:
+                    lm.descriptor = desc[i]
+                if f & 2:
+                    lm.mean_normal = normal[i]
+                if f & 4:
+                    lm.min_valid_dist = float(dmin[i])
+                    lm.max_valid_dist = float(dmax[i])
 
     def resolve_landmark_id(self, lm_id: int) -> int:
         """Follow the replacement chain to the surviving landmark id;

@@ -19,6 +19,7 @@ import threading
 import time
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,6 +63,52 @@ class MappingModule:
         self.num_processed = 0
 
     # ------------------------------------------------------------------ API
+    def warmup(self, num_slots: int):
+        """Pre-trace + compile/load every device program this module can
+        dispatch, with the exact shapes the run will use.
+
+        On the tunneled backend a cold program costs seconds even with a
+        persistent-cache hit (trace + lower + executable load), and the
+        mapper pays it at its FIRST keyframe — exactly when the tracker is
+        sprinting ahead and contending for the device. Measured: first
+        mapped keyframe 11-13 s cold vs ~0.4 s warm; the cold mapper stays
+        queue-full for the whole run, which vetoes keyframe insertion
+        (is_skipping_localBA) and starves the map."""
+        N, B = num_slots, 5
+        f32 = lambda *s: jnp.zeros(s, jnp.float32)
+        i32 = lambda *s: jnp.zeros(s, jnp.int32)
+        u32 = lambda *s: jnp.zeros(s, jnp.uint32)
+        bl = lambda *s: jnp.zeros(s, bool)
+        eye = jnp.eye(3, dtype=jnp.float32)
+        kf_tri = (f32(N, 2), i32(N), u32(N, 8), f32(N, 3), f32(N), bl(N),
+                  bl(N), f32(N), eye, f32(3))
+        res = self.kernels.triangulate_gather(
+            kf_tri, tuple(kf_tri for _ in range(B)), bl(B),
+        )
+        jax.block_until_ready(res.ok)
+        KC, MC = self.FUSE_KF_CHUNK, self.FUSE_LM_CHUNK
+        kf_fuse = (f32(N, 2), i32(N), u32(N, 8), bl(N), f32(N), eye, f32(3))
+        out = self.kernels.fuse_gather(
+            tuple(kf_fuse for _ in range(KC)), bl(KC),
+            f32(MC, 3), u32(MC, 8), f32(MC), f32(MC), f32(MC, 3), bl(MC),
+            margin=3.0,
+        )
+        jax.block_until_ready(out[0])
+        K, L, D = self.ba_K, self.ba_L, self.ba_D
+        prob = ba_mod.BAProblem(
+            cam_R=jnp.tile(eye[None], (K, 1, 1)), cam_t=f32(K, 3),
+            cam_fixed=bl(K), cam_valid=bl(K),
+            lm_pos=f32(L, 3), lm_valid=bl(L),
+            obs_cam=i32(L, D), obs_uv=f32(L, D, 2),
+            obs_x_right=f32(L, D), obs_inv_sigma_sq=f32(L, D),
+            obs_valid=bl(L, D), lm_fixed=bl(L), lm_keep_inlier=bl(L),
+        )
+        res = ba_mod.bundle_adjust(
+            prob, make_cam_scalars(self.camera),
+            model=self.camera.model.name.lower(),
+        )
+        jax.block_until_ready(res.cost)
+
     def async_add_keyframe(self, kf: Keyframe):
         self._queue.put(kf)
 
@@ -186,24 +233,25 @@ class MappingModule:
         pair_valid = np.zeros(B, bool)
         pair_valid[: len(neighbors)] = True
         padded = neighbors + [neighbors[0]] * (B - len(neighbors))
-        cur_unassoc = jnp.asarray((cur.lm_ids < 0)) & cur.feats.valid
-        cur_is_stereo = cur.x_right > 0
-        stack = lambda f: jnp.stack([f(o) for o in padded])
-        res = self.kernels.triangulate_multi(
+        # per-keyframe tensors go in as a pytree; stacking happens inside the
+        # jitted program (ONE dispatch instead of ~13 eager stacks)
+        kf_tuple = lambda o: (
+            o.undist_xy, o.feats.level, o.feats.desc, o.bearings,
+            o.feats.angle, (o.lm_ids < 0) & o.h_valid, o.h_x_right > 0,
+            o.x_right,
+            o.rot_cw.astype(np.float32), o.trans_cw.astype(np.float32),
+        )
+        cur_args = (
             cur.undist_xy, cur.feats.level, cur.feats.desc, cur.bearings,
-            cur.feats.angle, cur_unassoc, cur_is_stereo, cur.x_right,
-            stack(lambda o: o.undist_xy), stack(lambda o: o.feats.level),
-            stack(lambda o: o.feats.desc), stack(lambda o: o.bearings),
-            stack(lambda o: o.feats.angle),
-            stack(lambda o: jnp.asarray(o.lm_ids < 0) & o.feats.valid),
-            stack(lambda o: o.x_right > 0), stack(lambda o: o.x_right),
-            jnp.asarray(cur.rot_cw, dtype=jnp.float32),
-            jnp.asarray(cur.trans_cw, dtype=jnp.float32),
-            stack(lambda o: jnp.asarray(o.rot_cw, dtype=jnp.float32)),
-            stack(lambda o: jnp.asarray(o.trans_cw, dtype=jnp.float32)),
-            jnp.asarray(pair_valid),
+            cur.feats.angle, (cur.lm_ids < 0) & cur.h_valid,
+            cur.h_x_right > 0, cur.x_right,
+            cur.rot_cw.astype(np.float32), cur.trans_cw.astype(np.float32),
+        )
+        res = self.kernels.triangulate_gather(
+            cur_args, tuple(kf_tuple(o) for o in padded), pair_valid,
         )
         ok_all, pos_all, idx2_all = fetch_all(res.ok, res.pos_w, res.idx2)
+        new_lms = []
         with map_db.lock:
             for b, other in enumerate(neighbors):
                 ok = ok_all[b]
@@ -220,9 +268,10 @@ class MappingModule:
                     lm.add_observation(other.id, int(idx2_all[b, i]))
                     cur.add_landmark(lm.id, int(i))
                     other.add_landmark(lm.id, int(idx2_all[b, i]))
-                    lm.compute_descriptor(map_db)
-                    lm.update_mean_normal_and_obs_scale_variance(map_db)
+                    new_lms.append(lm)
                     self.cleaner.add_fresh_landmark(lm.id)
+            map_db.batch_refresh_landmark_stats(
+                new_lms, self.orb_params.scale_factors)
 
     # ------------------------------------------------------------------
     def fuse_landmark_duplication(self, cur: Keyframe):
@@ -262,6 +311,14 @@ class MappingModule:
         if tgt_lm_ids:
             self._fuse_into(map_db, [cur], tgt_lm_ids)
 
+    # fixed fuse program shape: every dispatch is exactly (KF_CHUNK keyframes
+    # x LM_CHUNK landmarks). Shape buckets looked cheaper per dispatch but
+    # every new (Bpad, Mpad) combination triggered a multi-second cold
+    # program load mid-run; chunks of one fixed shape compile exactly once
+    # and the extra padded compute is microseconds of device time.
+    FUSE_KF_CHUNK = 8
+    FUSE_LM_CHUNK = 1024
+
     def _fuse_into(self, map_db, keyframes, lm_list, margin: float = 3.0):
         if not lm_list:
             return
@@ -270,65 +327,81 @@ class MappingModule:
         ]
         if not keyframes:
             return
-        # pad the keyframe batch to fixed sizes (4/8/16) to bound recompiles
-        Bpad = 4
-        while Bpad < len(keyframes):
-            Bpad *= 2
-        kf_batch_valid = np.zeros(Bpad, bool)
-        kf_batch_valid[: len(keyframes)] = True
-        padded_kfs = keyframes + [keyframes[0]] * (Bpad - len(keyframes))
+        KC, MC = self.FUSE_KF_CHUNK, self.FUSE_LM_CHUNK
         lm_pos = np.array([lm.pos_w for _, lm in lm_list], np.float32)
         lm_desc = np.stack([lm.descriptor for _, lm in lm_list])
         lm_dmin = np.array([lm.min_valid_dist for _, lm in lm_list], np.float32)
         lm_dmax = np.array([lm.max_valid_dist for _, lm in lm_list], np.float32)
         lm_norm = np.array([lm.mean_normal for _, lm in lm_list], np.float32)
-        # pad the landmark axis to power-of-two buckets to bound recompiles
         M = len(lm_list)
-        Mpad = max(256, 1 << int(np.ceil(np.log2(M))))
-        pad = lambda a: np.concatenate(
-            [a, np.zeros((Mpad - M,) + a.shape[1:], a.dtype)]
+        kf_tuple = lambda kf: (
+            kf.undist_xy, kf.feats.level, kf.feats.desc, kf.feats.valid,
+            kf.x_right,
+            kf.rot_cw.astype(np.float32), kf.trans_cw.astype(np.float32),
         )
-        lm_valid = np.zeros(Mpad, bool)
-        lm_valid[:M] = True
-        stack = lambda f: jnp.stack([f(kf) for kf in padded_kfs])
-        best_all, acc_all = self.kernels.fuse_multi(
-            stack(lambda kf: kf.undist_xy), stack(lambda kf: kf.feats.level),
-            stack(lambda kf: kf.feats.desc), stack(lambda kf: kf.feats.valid),
-            stack(lambda kf: kf.x_right),
-            stack(lambda kf: jnp.asarray(kf.rot_cw, dtype=jnp.float32)),
-            stack(lambda kf: jnp.asarray(kf.trans_cw, dtype=jnp.float32)),
-            jnp.asarray(kf_batch_valid),
-            jnp.asarray(pad(lm_pos)), jnp.asarray(pad(lm_desc)),
-            jnp.asarray(pad(lm_dmin)), jnp.asarray(pad(lm_dmax)),
-            jnp.asarray(pad(lm_norm)), jnp.asarray(lm_valid),
-            margin=margin,
-        )
-        best_all, acc_all = fetch_all(best_all, acc_all)
+        # dispatch every chunk pair first (they pipeline), fetch once
+        chunks = []
+        for k0 in range(0, len(keyframes), KC):
+            kf_chunk = keyframes[k0:k0 + KC]
+            kf_valid = np.zeros(KC, bool)
+            kf_valid[: len(kf_chunk)] = True
+            padded_kfs = kf_chunk + [kf_chunk[0]] * (KC - len(kf_chunk))
+            kfs_tuple = tuple(kf_tuple(kf) for kf in padded_kfs)
+            for m0 in range(0, M, MC):
+                msz = min(MC, M - m0)
+                pad = lambda a: np.concatenate(
+                    [a[m0:m0 + msz],
+                     np.zeros((MC - msz,) + a.shape[1:], a.dtype)]
+                ) if msz < MC else a[m0:m0 + MC]
+                lm_valid = np.zeros(MC, bool)
+                lm_valid[:msz] = True
+                best, acc = self.kernels.fuse_gather(
+                    kfs_tuple, kf_valid,
+                    pad(lm_pos), pad(lm_desc), pad(lm_dmin), pad(lm_dmax),
+                    pad(lm_norm), lm_valid,
+                    margin=margin,
+                )
+                chunks.append((kf_chunk, m0, msz, best, acc))
+        fetched = fetch_all(*[c[3] for c in chunks], *[c[4] for c in chunks])
+        touched = []
         with map_db.lock:
-            for b, kf in enumerate(keyframes):
-                acc = acc_all[b]
-                if not acc[:M].any():
+            for ci, (kf_chunk, m0, msz, _, _) in enumerate(chunks):
+                best_all = fetched[ci]
+                acc_all = fetched[len(chunks) + ci]
+                self._apply_fuse_chunk(
+                    map_db, kf_chunk, lm_list, m0, msz, best_all, acc_all,
+                    touched,
+                )
+            map_db.batch_refresh_landmark_stats(
+                touched, self.orb_params.scale_factors)
+
+    def _apply_fuse_chunk(self, map_db, keyframes, lm_list, m0, msz,
+                          best_all, acc_all, touched):
+        for b, kf in enumerate(keyframes):
+            acc = acc_all[b]
+            if not acc[:msz].any():
+                continue
+            bidx = best_all[b]
+            for i in np.nonzero(acc[:msz])[0]:
+                lm_id, lm = lm_list[m0 + int(i)]
+                if lm.will_be_erased:
                     continue
-                bidx = best_all[b]
-                for i in np.nonzero(acc[:M])[0]:
-                    lm_id, lm = lm_list[i]
-                    if lm.will_be_erased:
-                        continue
-                    kp = int(bidx[i])
-                    existing_id = kf.lm_ids[kp]
-                    if existing_id >= 0 and existing_id != lm_id:
-                        other = map_db.landmarks.get(int(existing_id))
-                        if other is None or other.will_be_erased:
-                            kf.lm_ids[kp] = -1
-                        elif other.num_observations() >= lm.num_observations():
-                            map_db.replace_landmark(lm, other)
-                        else:
-                            map_db.replace_landmark(other, lm)
-                    elif existing_id < 0:
-                        lm.add_observation(kf.id, kp)
-                        kf.add_landmark(lm_id, kp)
-                        lm.compute_descriptor(map_db)
-                        lm.update_mean_normal_and_obs_scale_variance(map_db)
+                kp = int(bidx[i])
+                existing_id = kf.lm_ids[kp]
+                if existing_id >= 0 and existing_id != lm_id:
+                    other = map_db.landmarks.get(int(existing_id))
+                    if other is None or other.will_be_erased:
+                        kf.lm_ids[kp] = -1
+                    elif other.num_observations() >= lm.num_observations():
+                        map_db.replace_landmark(lm, other, refresh=False)
+                        touched.append(other)
+                    else:
+                        map_db.replace_landmark(other, lm, refresh=False)
+                        touched.append(lm)
+                elif existing_id < 0:
+                    lm.add_observation(kf.id, kp)
+                    kf.add_landmark(lm_id, kp)
+                    touched.append(lm)
 
     # ------------------------------------------------------------------
     def local_bundle_adjustment(self, cur: Keyframe):
@@ -357,6 +430,7 @@ class MappingModule:
                 T[:3, 3] = camt[slot]
                 kf.set_pose_cw(T)
             slot_of = {kf_id: s for s, kf_id in enumerate(kf_slots) if kf_id >= 0}
+            moved = []
             for l, lm_id in enumerate(lm_ids):
                 if lm_id < 0:
                     continue
@@ -380,7 +454,9 @@ class MappingModule:
                 if lm.num_observations() < 2:
                     map_db.erase_landmark(lm_id)
                 else:
-                    lm.update_mean_normal_and_obs_scale_variance(map_db)
+                    moved.append(lm)
+            map_db.batch_refresh_landmark_stats(
+                moved, self.orb_params.scale_factors)
             # marker corner write-back (reference cc:411-427)
             for mk, ci, row in marker_rows:
                 if not mk.keep_fixed:

@@ -100,13 +100,10 @@ class KeyframeInserter:
             seen.add(int(lm_id))
             lm.add_observation(kf.id, idx)
         map_db.add_keyframe(kf)
-        for idx, lm_id in enumerate(kf.lm_ids):
-            if lm_id < 0:
-                continue
-            lm = map_db.landmarks.get(int(lm_id))
-            if lm is not None:
-                lm.compute_descriptor(map_db)
-                lm.update_mean_normal_and_obs_scale_variance(map_db)
+        map_db.batch_refresh_landmark_stats(
+            [map_db.landmarks.get(int(i)) for i in kf.lm_ids if i >= 0],
+            kf.orb_params.scale_factors,
+        )
 
         # stereo/RGBD: seed landmarks from depth, nearest >= 100
         # (keyframe_inserter.cc:160-212)
@@ -127,6 +124,7 @@ class KeyframeInserter:
         order = np.argsort(np.where(depths > 0, depths, np.inf))
         depth_thr = float(self.camera.params.depth_thr)
         created = 0
+        seeded = []
         R_wc = kf.rot_cw.T
         t_wc = -R_wc @ kf.trans_cw
         p = self.camera.params
@@ -149,6 +147,6 @@ class KeyframeInserter:
             lm.add_observation(kf.id, int(idx))
             kf.add_landmark(lm.id, int(idx))
             map_db.add_landmark(lm)
-            lm.compute_descriptor(map_db)
-            lm.update_mean_normal_and_obs_scale_variance(map_db)
+            seeded.append(lm)
             created += 1
+        map_db.batch_refresh_landmark_stats(seeded, kf.orb_params.scale_factors)

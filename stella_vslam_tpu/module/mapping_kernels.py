@@ -142,8 +142,7 @@ class MappingKernels:
         )
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnames=("self",))
-    def triangulate_multi(
+    def _triangulate_multi_impl(
         self,
         kp1_uv, kp1_level, kp1_desc, kp1_bear, kp1_angle, kp1_valid_unassoc,
         kp1_is_stereo, kp1_xr,
@@ -178,8 +177,30 @@ class MappingKernels:
             kp2_valid_unassoc, kp2_is_stereo, kp2_xr, R2, t2, pair_valid,
         )
 
-    @partial(jax.jit, static_argnames=("self", "margin"))
-    def fuse_multi(
+    @partial(jax.jit, static_argnames=("self",))
+    def triangulate_multi(self, *args):
+        return self._triangulate_multi_impl(*args)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def triangulate_gather(self, cur, others, pair_valid):
+        """Pytree entry point: `cur` is a tuple of the 10 current-keyframe
+        tensors (uv, level, desc, bear, angle, unassoc, is_stereo, xr, R, t);
+        `others` a tuple of B such tuples for the neighbors. Stacking happens
+        INSIDE the program — the host issues ONE dispatch instead of ~13
+        eager jnp.stack calls per mapped keyframe (each eager op costs
+        trace+dispatch overhead on the tunneled runtime)."""
+        stacked = [jnp.stack(vals) for vals in zip(*others)]
+        (kp1_uv, kp1_level, kp1_desc, kp1_bear, kp1_angle, kp1_un,
+         kp1_st, kp1_xr, R1, t1) = cur
+        return self._triangulate_multi_impl(
+            kp1_uv, kp1_level, kp1_desc, kp1_bear, kp1_angle, kp1_un,
+            kp1_st, kp1_xr,
+            stacked[0], stacked[1], stacked[2], stacked[3], stacked[4],
+            stacked[5], stacked[6], stacked[7],
+            R1, t1, stacked[8], stacked[9], pair_valid,
+        )
+
+    def _fuse_multi_impl(
         self,
         # stacked keyframe tensors [B, ...]
         kf_uv, kf_level, kf_desc, kf_valid, kf_xr,
@@ -209,6 +230,26 @@ class MappingKernels:
 
         return jax.vmap(one)(
             kf_uv, kf_level, kf_desc, kf_valid, kf_xr, R_cw, t_cw, kf_batch_valid
+        )
+
+    @partial(jax.jit, static_argnames=("self", "margin"))
+    def fuse_multi(self, *args, margin: float = 3.0):
+        return self._fuse_multi_impl(*args, margin=margin)
+
+    @partial(jax.jit, static_argnames=("self", "margin"))
+    def fuse_gather(
+        self, kfs, kf_batch_valid,
+        lm_pos, lm_desc, lm_min_dist, lm_max_dist, lm_normal, lm_valid,
+        margin: float = 3.0,
+    ):
+        """Pytree entry point: `kfs` is a tuple of B per-keyframe tuples
+        (uv, level, desc, valid, xr, R, t); stacking happens inside the
+        program (see triangulate_gather)."""
+        s = [jnp.stack(vals) for vals in zip(*kfs)]
+        return self._fuse_multi_impl(
+            s[0], s[1], s[2], s[3], s[4], s[5], s[6], kf_batch_valid,
+            lm_pos, lm_desc, lm_min_dist, lm_max_dist, lm_normal, lm_valid,
+            margin=margin,
         )
 
     @partial(jax.jit, static_argnames=("self",))

@@ -83,6 +83,51 @@ class AssocStore:
         )
         return obs_cam, obs_idx, obs_valid.astype(bool)
 
+    # ---- per-keyframe registry + batched landmark statistics ----
+    def register_keyframe(self, kf_id: int, desc: np.ndarray,
+                          level: np.ndarray):
+        """Register a keyframe's immutable descriptors [N,8]u32 and octaves
+        [N]i32 for batched landmark-statistics refresh."""
+        desc = np.ascontiguousarray(desc, np.uint32)
+        level = np.ascontiguousarray(level, np.int32)
+        self._lib.store_register_keyframe(
+            self._h, kf_id, desc.ctypes.data_as(_u32p), _p32(level),
+            desc.shape[0],
+        )
+
+    def erase_keyframe_data(self, kf_id: int):
+        self._lib.store_erase_keyframe_data(self._h, kf_id)
+
+    def batch_landmark_refresh(self, lm_ids, lm_pos, ref_kf_ids, kf_ids,
+                               kf_centers, scale_factors):
+        """Batched representative-descriptor + mean-normal + scale-range
+        computation (reference landmark.cc compute_descriptor /
+        update_mean_normal_and_obs_scale_variance) — releases the GIL.
+        Returns (desc [M,8]u32, normal [M,3], dmin [M], dmax [M],
+        flags [M]u8: bit0 desc, bit1 normal, bit2 range valid)."""
+        M = len(lm_ids)
+        lm_ids = np.ascontiguousarray(lm_ids, np.int64)
+        lm_pos = np.ascontiguousarray(lm_pos, np.float64)
+        ref_kf_ids = np.ascontiguousarray(ref_kf_ids, np.int64)
+        kf_ids = np.ascontiguousarray(kf_ids, np.int64)
+        kf_centers = np.ascontiguousarray(kf_centers, np.float64)
+        scale_factors = np.ascontiguousarray(scale_factors, np.float64)
+        out_desc = np.zeros((M, 8), np.uint32)
+        out_normal = np.zeros((M, 3), np.float64)
+        out_dmin = np.zeros(M, np.float64)
+        out_dmax = np.zeros(M, np.float64)
+        out_flags = np.zeros(M, np.uint8)
+        _dp = ctypes.POINTER(ctypes.c_double)
+        self._lib.store_batch_landmark_refresh(
+            self._h, _p64(lm_ids), M, lm_pos.ctypes.data_as(_dp),
+            _p64(ref_kf_ids), _p64(kf_ids), kf_centers.ctypes.data_as(_dp),
+            len(kf_ids), scale_factors.ctypes.data_as(_dp),
+            len(scale_factors), out_desc.ctypes.data_as(_u32p),
+            out_normal.ctypes.data_as(_dp), out_dmin.ctypes.data_as(_dp),
+            out_dmax.ctypes.data_as(_dp), out_flags.ctypes.data_as(_u8p),
+        )
+        return out_desc, out_normal, out_dmin, out_dmax, out_flags
+
 
 def median_hamming_descriptor(descs: np.ndarray) -> int:
     """Index of the descriptor minimizing the median Hamming distance

@@ -59,5 +59,16 @@ def load_mapcore() -> ctypes.CDLL:
     ]
     lib.median_hamming_descriptor.argtypes = [c.POINTER(c.c_uint32), c.c_int32]
     lib.median_hamming_descriptor.restype = c.c_int32
+    lib.store_register_keyframe.argtypes = [
+        c.c_void_p, c.c_int64, c.POINTER(c.c_uint32), c.POINTER(c.c_int32),
+        c.c_int32,
+    ]
+    lib.store_erase_keyframe_data.argtypes = [c.c_void_p, c.c_int64]
+    _dp = c.POINTER(c.c_double)
+    lib.store_batch_landmark_refresh.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int64), c.c_int32, _dp,
+        c.POINTER(c.c_int64), c.POINTER(c.c_int64), _dp, c.c_int32, _dp,
+        c.c_int32, c.POINTER(c.c_uint32), _dp, _dp, _dp, c.POINTER(c.c_uint8),
+    ]
     _cached = lib
     return lib

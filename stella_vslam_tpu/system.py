@@ -8,6 +8,7 @@ pause/resume/reset, enable/disable mapping.
 """
 from __future__ import annotations
 
+import os
 import threading
 import time
 from typing import Optional
@@ -105,7 +106,7 @@ class System:
             feats = ex._extract_impl(img, None)[0]
             und = cam.undistort(feats.xy)
             bear = cam.bearings(und)
-            neg1 = jnp.full((feats.xy.shape[0],), -1.0)
+            neg1 = jnp.full((feats.xy.shape[0],), -1.0, dtype=jnp.float32)
             packed = pack_host_cols(
                 feats.xy, und, bear, feats.level, feats.angle, feats.valid,
                 feats.response, neg1, neg1, feats.desc)
@@ -175,13 +176,29 @@ class System:
         self._rgbd_preprocess = None  # lazily-jitted fused RGBD program
 
     # ------------------------------------------------------------------
-    def startup(self, need_initialize: bool = True):
+    def startup(self, need_initialize: bool = True, warmup: Optional[bool] = None):
+        """warmup=True pre-compiles/loads every steady-state device program
+        before the first frame (tracking variants + the mapping thread's
+        triangulation/fuse/local-BA programs). Default: env SVT_WARMUP (on).
+        Without it, the mapper pays ~10 s of cold-program cost at its first
+        keyframe while contending with the tracker for the device — it falls
+        queue-full and the backpressure veto starves keyframe insertion for
+        the rest of a short run."""
+        if warmup is None:
+            warmup = os.environ.get("SVT_WARMUP", "1") != "0"
+        if warmup:
+            self.warmup()
         if not need_initialize:
             self.tracker.state = "Lost"
         if not self.inline_mapping:
             self.mapper.start()
             self.global_optimizer.start()
         self._running = True
+
+    def warmup(self):
+        n = self.extractor.num_slots
+        self.tracker.warmup(n, self.map_db.device_table.min_capacity)
+        self.mapper.warmup(n)
 
     def shutdown(self):
         self.tracker.finalize_pending()
@@ -239,9 +256,20 @@ class System:
         pose = self.tracker.feed_frame(frm)
         if self.inline_mapping:
             self._drain_mapper_inline()
+        else:
+            self._yield_to_mapper()
         self.track_times.append(time.time() - t0)
         self._publish(img, frm, pose)
         return pose
+
+    def _yield_to_mapper(self):
+        """When frames arrive faster than real time (offline datasets), the
+        caller thread's Python work can starve the mapping thread of the GIL
+        and the local map falls behind the motion. Yield briefly while the
+        mapper has work — the analog of the reference's backpressure veto
+        (keyframe_inserter.cc:59-62), spending idle budget on map freshness."""
+        if not self.mapper.is_idle():
+            time.sleep(0.002)
 
     def _publish(self, img, frm, pose):
         # store references only — materialization happens on viewer pull
@@ -278,6 +306,8 @@ class System:
         pose = self.tracker.feed_frame(frm)
         if self.inline_mapping:
             self._drain_mapper_inline()
+        else:
+            self._yield_to_mapper()
         self.track_times.append(time.time() - t0)
         self._publish(img_left, frm, pose)
         return pose
@@ -330,6 +360,8 @@ class System:
         pose = self.tracker.feed_frame(frm)
         if self.inline_mapping:
             self._drain_mapper_inline()
+        else:
+            self._yield_to_mapper()
         self.track_times.append(time.time() - t0)
         self._publish(img, frm, pose)
         return pose

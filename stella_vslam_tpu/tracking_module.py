@@ -23,6 +23,7 @@ from __future__ import annotations
 import threading
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -152,6 +153,14 @@ class TrackingModule:
         # rare half-second stalls from over-buffering)
         self.fetch_batch = int(os.environ.get("SVT_FETCH_BATCH", "8"))
         self.max_inflight = int(os.environ.get("SVT_MAX_INFLIGHT", "40"))
+        # lag bound in TIME: keyframe decisions happen at finalize, so the
+        # oldest in-flight frame caps how stale the map can get. A pure
+        # frame-count bound scales badly with FPS (40 frames at 100 FPS is
+        # 400 ms of motion — enough to outrun the matching margins on fast
+        # sequences; the deterministic mode never loses the same workload).
+        self.max_lag_s = float(os.environ.get("SVT_MAX_LAG_S", "0.15"))
+        self.inflight_mapper_busy = int(
+            os.environ.get("SVT_INFLIGHT_MAPPER_BUSY", "4"))
         self.batch_linger = 0.010  # s: flush a partial batch after this long
         # (bounds finalize lag for slow real-time feeds, where a batch would
         # otherwise take fetch_batch camera periods to fill)
@@ -189,6 +198,36 @@ class TrackingModule:
         self._kf_for_assoc = None
         # finalized per-frame results: (frame_id, ts, pose_cw|None, ref_kf_id)
         self.finalized = []
+
+    # ------------------------------------------------------------------
+    def warmup(self, num_slots: int, table_capacity: int = 2048):
+        """Pre-trace + compile/load the tracking program in every static-arg
+        variant the state machine can dispatch (motion x margin). The
+        margin-switch variants otherwise compile mid-run at the first
+        post-reloc frame — a multi-second stall at the worst moment."""
+        N, C = num_slots, table_capacity
+        f32 = lambda *s: jnp.zeros(s, jnp.float32)
+        i32 = lambda *s: jnp.zeros(s, jnp.int32)
+        u32 = lambda *s: jnp.zeros(s, jnp.uint32)
+        bl = lambda *s: jnp.zeros(s, bool)
+        eye = jnp.eye(3, dtype=jnp.float32)
+        k = self.kernels
+        outs = []
+        for use_motion in (True, False):
+            for margin in (k.margin_local, k.margin_local_unstable):
+                outs.append(k.track_frame(
+                    f32(N, 2), i32(N), u32(N, 8), bl(N), f32(N), f32(N),
+                    u32(N, 8), i32(N), f32(N),
+                    f32(N, 3), bl(N), jnp.full(N, -1, jnp.int32),
+                    u32(N, 8), f32(N),
+                    f32(N, 3), bl(N), jnp.full(N, -1, jnp.int32),
+                    f32(C, 3), u32(C, 8), f32(C, 3), f32(C), f32(C), bl(C),
+                    jnp.full(C, -1, jnp.int32),
+                    eye, f32(3), eye, f32(3),
+                    use_motion=use_motion, margin_local=float(margin),
+                ))
+        for out in outs:
+            jax.block_until_ready(out.R_cw)
 
     # ------------------------------------------------------------------
     def feed_frame(self, frm: Frame) -> Optional[np.ndarray]:
@@ -255,6 +294,28 @@ class TrackingModule:
         # is the same tracking-vs-mapping freshness race the reference's
         # 3-thread design has (system.cc:207-210), with the state machine
         # decisions lagging by the in-flight depth.
+        tbl = self.map_db.device_table
+        if (
+            self._pending
+            and self._chain_tbl_version is not None
+            and tbl.pos is not None
+            and tbl.version != self._chain_tbl_version
+        ):
+            # The mapper published a new device table (keyframe event: local
+            # BA moved landmarks/keyframes, fusion replaced some). The chained
+            # device state still references pre-update positions, and the
+            # resync in _dispatch can only re-anchor against finalized host
+            # poses — so drain the pipeline first. One bubble per keyframe
+            # event (~every 10-30 frames); without it the async pipeline is
+            # never empty and the chain drifts away from the optimized map
+            # until tracking is lost (the reference instead re-reads the map
+            # under its mutex every frame, tracking_module.cc:193).
+            self._flush_batch()
+            while self._pending:
+                self._finalize_one()
+            if self.state != STATE_TRACKING:
+                # drained frames flipped the state (lost/reset)
+                return self._feed_frame_locked(frm)
         self._dispatch(frm)
         if self.synchronous:
             self._flush_batch()
@@ -263,9 +324,24 @@ class TrackingModule:
             return self.last_frm.pose_cw if self.last_frm is not None else None
         self._ensure_fin_thread()
         self._cond.notify_all()
-        while len(self._pending) > self.max_inflight \
-                and self.state == STATE_TRACKING:
-            # hard memory/lag bound; fin thread drains. Timed wait + thread
+        import time as _time
+        # while the mapper is actively processing a keyframe, its sequential
+        # device round trips queue behind every in-flight tracking program —
+        # at full depth the mapper crawls (measured 10-30 s/keyframe vs ~1 s
+        # uncontended) and the backpressure veto then starves keyframe
+        # insertion. Shrinking the pipeline to a few slots costs ~nothing in
+        # tracking throughput but bounds the mapper's per-sync wait.
+        mapper_busy = (
+            self.mapper is not None and not self.synchronous
+            and not self.mapper.is_idle()
+        )
+        max_inflight = self.inflight_mapper_busy if mapper_busy \
+            else self.max_inflight
+        while self.state == STATE_TRACKING and self._pending and (
+            len(self._pending) > max_inflight
+            or _time.monotonic() - self._pending[0].t_dispatch > self.max_lag_s
+        ):
+            # memory + staleness bound; fin thread drains. Timed wait + thread
             # re-check so a crashed finalize thread cannot strand the caller.
             self._cond.wait(timeout=1.0)
             self._ensure_fin_thread()

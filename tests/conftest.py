@@ -16,6 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# warmup pre-compiles every device program variant at System.startup — wanted
+# on the tunneled TPU runtime, pure overhead for the many tiny CPU test runs
+os.environ.setdefault("SVT_WARMUP", "0")
 
 import jax  # noqa: E402
 
