@@ -72,15 +72,17 @@ class BAResult(NamedTuple):
     cost: jnp.ndarray  # final total robust cost
 
 
-def _residuals(prob: BAProblem, cam_R, cam_t, lm_pos, cam: res_mod.CamScalars, model: str):
+def _residuals(prob: BAProblem, cam_R, cam_t, lm_pos, cam: res_mod.CamScalars,
+               model: str, oh=None):
     """Flattened residual evaluation over [L*D] observation slots."""
     L, D = prob.obs_cam.shape
     K = cam_R.shape[0]
     res_fn = res_mod.RESIDUAL_FNS[model]
 
-    # per-obs camera poses via one-hot contraction [L,D,K]
-    ik = jax.lax.broadcasted_iota(jnp.int32, (L, D, K), 2)
-    oh = (prob.obs_cam[:, :, None] == ik).astype(jnp.float32)  # [L,D,K]
+    if oh is None:
+        # per-obs camera poses via one-hot contraction [L,D,K]
+        ik = jax.lax.broadcasted_iota(jnp.int32, (L, D, K), 2)
+        oh = (prob.obs_cam[:, :, None] == ik).astype(jnp.float32)  # [L,D,K]
     R_o = jnp.einsum("ldk,kij->ldij", oh, cam_R)  # [L,D,3,3]
     t_o = jnp.einsum("ldk,ki->ldi", oh, cam_t)  # [L,D,3]
 
@@ -163,11 +165,13 @@ def _equirect_from_Xc(Xc, obs_uv, cam: res_mod.CamScalars):
     return r, dpi, dof, Ln > 1e-6
 
 
-def _gn_step(prob: BAProblem, cam_R, cam_t, lm_pos, inlier, cam, model,
-             use_huber: bool, lam: jnp.ndarray):
-    L, D = prob.obs_cam.shape
-    K = cam_R.shape[0]
-    r, Jc, Jp, dof, depth_ok, oh = _residuals(prob, cam_R, cam_t, lm_pos, cam, model)
+def _linearize(prob: BAProblem, cam_R, cam_t, lm_pos, inlier, cam, model,
+               use_huber: bool):
+    """ONE residual/Jacobian evaluation at a state -> (cost, lam-independent
+    normal-equation blocks, obs one-hot). The solve (lam-dependent) lives in
+    _solve_schur so the damping can change without re-linearizing."""
+    r, Jc, Jp, dof, depth_ok, oh = _residuals(
+        prob, cam_R, cam_t, lm_pos, cam, model)
 
     w_base = (
         prob.obs_valid & inlier & depth_ok & prob.lm_valid[:, None]
@@ -190,6 +194,16 @@ def _gn_step(prob: BAProblem, cam_R, cam_t, lm_pos, inlier, cam, model,
     Hcc = jnp.einsum("ldk,ldri,ldrj->kij", oh, Jc_w, Jc)  # [K,6,6]
     b_c = jnp.einsum("ldk,ldri,ldr->ki", oh, Jc_w, r)  # [K,6]
     Wm = jnp.einsum("ldri,ldrj->ldij", Jc_w, Jp)  # [L,D,6,3]
+    has_obs = jnp.sum(w_base, axis=1) > 0  # [L]
+    return cost, (Hpp, b_p, Hcc, b_c, Wm, has_obs), oh
+
+
+def _solve_schur(prob: BAProblem, cam_R, cam_t, lm_pos, blocks, lam, oh):
+    """Damped Schur-complement solve from precomputed blocks; applies the
+    update to (cam_R, cam_t, lm_pos) and returns the trial state."""
+    L, D = prob.obs_cam.shape
+    K = cam_R.shape[0]
+    Hpp, b_p, Hcc, b_c, Wm, has_obs = blocks
 
     # LM damping
     eyeL3 = jnp.eye(3, dtype=Hpp.dtype)
@@ -236,13 +250,12 @@ def _gn_step(prob: BAProblem, cam_R, cam_t, lm_pos, inlier, cam, model,
     dp = -jnp.einsum("lij,lj->li", Hpp_inv, b_p + wtd)
     dp = dp * prob.lm_valid[:, None].astype(dp.dtype)
     # landmarks with no active observation: no update
-    has_obs = jnp.sum(w_base, axis=1) > 0
     dp = dp * has_obs[:, None].astype(dp.dtype)
 
     dR, dt = lie.se3_exp(dx)
     cam_R_new, cam_t_new = lie.se3_compose(dR, dt, cam_R, cam_t)
     lm_new = lm_pos + dp
-    return cam_R_new, cam_t_new, lm_new, cost, chi2
+    return cam_R_new, cam_t_new, lm_new
 
 
 def _total_cost(prob, cam_R, cam_t, lm_pos, inlier, cam, model, use_huber):
@@ -270,14 +283,20 @@ def bundle_adjust(
 ) -> BAResult:
     """Two-stage LM schedule mirroring the reference local BA
     (local_bundle_adjuster_g2o.cc:306-348): robust rounds, outlier
-    reclassification, plain rounds, final outlier flags."""
+    reclassification, plain rounds, final outlier flags.
+
+    NOTE on the [L,D,K] observation one-hot: it is deliberately REBUILT at
+    every use (never materialized/hoisted) — XLA fuses the iota-compare into
+    the consuming contractions, which measured faster than reading a
+    precomputed 25 MB tensor from HBM each iteration."""
 
     def stage(cam_R, cam_t, lm_pos, inlier, use_huber, iters):
         def body(carry, _):
             cam_R, cam_t, lm_pos, lam = carry
-            Rn, tn, pn, cost0, _ = _gn_step(
-                prob, cam_R, cam_t, lm_pos, inlier, cam, model, use_huber, lam
-            )
+            cost0, blocks, oh = _linearize(
+                prob, cam_R, cam_t, lm_pos, inlier, cam, model, use_huber)
+            Rn, tn, pn = _solve_schur(
+                prob, cam_R, cam_t, lm_pos, blocks, lam, oh)
             cost1, _, _ = _total_cost(prob, Rn, tn, pn, inlier, cam, model, use_huber)
             improved = cost1 < cost0
             cam_R = jnp.where(improved, Rn, cam_R)
