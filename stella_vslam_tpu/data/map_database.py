@@ -14,13 +14,36 @@ per frame (host->device transfers cost ~3-50 ms on the target stack).
 from __future__ import annotations
 
 import threading
-from typing import Dict, Optional
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import numpy as np
 
 from stella_vslam_tpu.data.keyframe import Keyframe
 from stella_vslam_tpu.data.landmark import Landmark
+
+
+class TableSnap(NamedTuple):
+    """One coherent published state of the device landmark table.
+
+    The tracking thread dispatches against whatever snapshot is current at
+    the time it reads `DeviceLandmarkTable.snap` — a SINGLE reference read,
+    so it can never observe a half-refreshed table even though the mapping
+    thread refreshes concurrently without the tracker holding the map lock
+    (the reference instead serializes through map_database::mtx_database_,
+    map_database.h:268-269; here the tracker is lock-free on the hot path)."""
+
+    version: int
+    count: int
+    ids: np.ndarray  # [C] i64 host
+    ids_dev: jax.Array  # [C] i32
+    pos: jax.Array  # [C,3] f32
+    desc: jax.Array  # [C,8] u32
+    normal: jax.Array  # [C,3] f32
+    min_dist: jax.Array  # [C]
+    max_dist: jax.Array  # [C]
+    valid: jax.Array  # [C] bool
+    track_valid: jax.Array  # [C] bool
 
 
 class DeviceLandmarkTable:
@@ -30,17 +53,10 @@ class DeviceLandmarkTable:
         self.min_capacity = capacity
         self.capacity = capacity
         self.count = 0
-        self.ids = np.full(capacity, -1, dtype=np.int64)
-        self.ids_dev = None  # [C] i32 device mirror of ids
         self.version = 0
-        self.pos = None  # [C,3] f32 device
-        self.desc = None  # [C,8] u32 device
-        self.normal = None  # [C,3] f32
-        self.min_dist = None  # [C]
-        self.max_dist = None  # [C]
-        self.valid = None  # [C] bool — row holds a live landmark
-        self.track_valid = None  # [C] bool — valid AND covisibility-local
-        self.ref_level = None  # [C] i32 (octave of reference observation)
+        # the one published state; swapped atomically by refresh() (see
+        # TableSnap). None until the first refresh.
+        self.snap: Optional[TableSnap] = None
         # observability counters accumulated by the tracking thread and folded
         # into Landmark objects at refresh. Keyed by LANDMARK ID, not table
         # row: with pipelined tracking, a frame's result can be finalized
@@ -114,18 +130,26 @@ class DeviceLandmarkTable:
             valid[i] = True
             ids[i] = lm.id
         self.count = n
-        self.ids = ids
-        self.ids_dev = jax.device_put(ids.astype(np.int32))
-        self.pos = jax.device_put(pos)
-        self.desc = jax.device_put(desc)
-        self.normal = jax.device_put(normal)
-        self.min_dist = jax.device_put(dmin)
-        self.max_dist = jax.device_put(dmax)
-        self.valid = jax.device_put(valid)
-        # rows visible to the tracking thread's local-map sweep (the table IS
-        # the local map now; kept as a separate field for API clarity)
-        self.track_valid = self.valid
         self.version += 1
+        valid_dev = jax.device_put(valid)
+        # rows visible to the tracking thread's local-map sweep (the table IS
+        # the local map now; kept as a separate field for API clarity).
+        # Publication is the single `self.snap = ...` below — the tracking
+        # thread reads the reference once per dispatch and never sees a torn
+        # mix of old/new capacities.
+        self.snap = TableSnap(
+            version=self.version,
+            count=n,
+            ids=ids,
+            ids_dev=jax.device_put(ids.astype(np.int32)),
+            pos=jax.device_put(pos),
+            desc=jax.device_put(desc),
+            normal=jax.device_put(normal),
+            min_dist=jax.device_put(dmin),
+            max_dist=jax.device_put(dmax),
+            valid=valid_dev,
+            track_valid=valid_dev,
+        )
 
 
 class MapDatabase:

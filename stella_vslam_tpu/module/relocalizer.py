@@ -38,6 +38,43 @@ class Relocalizer:
         self.model = camera.model.name.lower()
 
     # ------------------------------------------------------------------
+    def warmup(self, num_slots: int):
+        """Compile every device program the relocalization cascade can
+        dispatch. Relocalization fires at the worst possible moment
+        (tracking just lost); a cold first attempt measured 1.5-2.7 s of
+        mid-run jit lowering on the tunneled backend."""
+        n = num_slots
+        f32 = lambda *s: jnp.zeros(s, jnp.float32)
+        u32 = lambda *s: jnp.zeros(s, jnp.uint32)
+        i32 = lambda *s: jnp.zeros(s, jnp.int32)
+        bl = lambda *s: jnp.zeros(s, bool)
+        eye3 = jnp.eye(3, dtype=jnp.float32)
+        outs = []
+        b = robust_match.brute_force_match(
+            f32(n), u32(n, 8), bl(n), f32(n), u32(n, 8), bl(n),
+            lowe_ratio=0.75)
+        outs.append(b[0])
+        res = pnp_solve.find_via_ransac(
+            jax.random.PRNGKey(0), f32(n, 3), f32(n, 3), i32(n), bl(n),
+            scale_factors=self.scale_factors,
+            min_num_inliers=self.min_num_bow_matches)
+        outs.append(res.valid)
+        opt = pose_opt.optimize_pose(
+            eye3, f32(3), f32(n, 3), f32(n, 2), f32(n),
+            H.take_small_table(self.inv_sigma_sq, i32(n)), bl(n),
+            self.cam_scalars, model=self.model)
+        outs.append(opt.R_cw)
+        uv, _, vis = self.camera.reproject(eye3, f32(3), f32(n, 3))
+        p = proj_match.match_frame_and_keyframe(
+            f32(n, 2), i32(n), u32(n, 8), bl(n), f32(n), bl(n),
+            u32(n, 8), uv, i32(n), f32(n), vis,
+            scale_factors=self.scale_factors,
+            num_levels=self.orb.num_levels, margin=10.0)
+        outs.append(p[0])
+        for o in outs:
+            jax.block_until_ready(o)
+
+    # ------------------------------------------------------------------
     def relocalize(self, map_db, frm) -> bool:
         vocab = self.bow_db.vocab
         words, bow_vec = vocab.compute_bow(frm.h_desc, frm.h_valid)

@@ -199,6 +199,24 @@ class System:
         n = self.extractor.num_slots
         self.tracker.warmup(n, self.map_db.device_table.min_capacity)
         self.mapper.warmup(n)
+        # relocalization programs compile in the background (off the
+        # startup critical path — reloc is rare but its cold compile
+        # measured 1.5-2.7 s at the worst moment: tracking just lost)
+        if self.tracker.relocalizer is not None:
+            import threading as _th
+
+            th = _th.Thread(
+                target=self._warm_reloc_bg, args=(n,), daemon=True,
+                name="warm-reloc",
+            )
+            self.tracker._warm_threads.append(th)
+            th.start()
+
+    def _warm_reloc_bg(self, n: int):
+        try:
+            self.tracker.relocalizer.warmup(n)
+        except Exception:  # pragma: no cover - best-effort prewarm
+            pass
 
     def shutdown(self):
         self.tracker.finalize_pending()
@@ -209,6 +227,10 @@ class System:
             self.global_optimizer.request_terminate()
             self.mapper.join()
             self.global_optimizer.join()
+        # a jit-compile thread killed at interpreter teardown aborts inside
+        # the PJRT client ("terminate called after throwing ...") — wait for
+        # stragglers before returning control to the caller
+        self.tracker.join_warm_threads()
         self._running = False
 
     def _drain_mapper_inline(self):

@@ -21,6 +21,7 @@ values from the not-yet-finalized previous frame.
 from __future__ import annotations
 
 import threading
+import time as _time
 from typing import Optional
 
 import jax
@@ -198,6 +199,12 @@ class TrackingModule:
         self._kf_for_assoc = None
         # finalized per-frame results: (frame_id, ts, pose_cw|None, ref_kf_id)
         self.finalized = []
+        # table-capacity buckets whose tracking program is compiled (or
+        # compiling in the background) — see _warm_capacity_async
+        self._warmed_caps: set = set()
+        self._warm_num_slots: Optional[int] = None
+        self._warm_threads: list = []  # joined at System.shutdown: a compile
+        # thread killed at interpreter exit aborts inside the PJRT client
 
     # ------------------------------------------------------------------
     def warmup(self, num_slots: int, table_capacity: int = 2048):
@@ -205,7 +212,48 @@ class TrackingModule:
         variant the state machine can dispatch (motion x margin). The
         margin-switch variants otherwise compile mid-run at the first
         post-reloc frame — a multi-second stall at the worst moment."""
-        N, C = num_slots, table_capacity
+        self._warm_num_slots = num_slots
+        self._compile_track_variants(num_slots, table_capacity)
+        self._warmed_caps.add(table_capacity)
+        # the next capacity bucket compiles in the background so table
+        # growth past `table_capacity` rows never stalls a frame
+        self._warm_capacity_async(2 * table_capacity)
+        # two-keyframe init BA: background compile overlaps the pre-init
+        # frames; at worst the init waits on the in-flight compile (jit
+        # dedups concurrent lowerings of one signature)
+        th = threading.Thread(
+            target=self._compile_init_ba, args=(num_slots,), daemon=True,
+            name="warm-init-ba",
+        )
+        self._warm_threads.append(th)
+        th.start()
+
+    def _compile_init_ba(self, num_slots: int):
+        try:
+            L = self._init_ba_capacity(num_slots)
+            D = 2
+            prob = ba_mod.BAProblem(
+                cam_R=jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (2, 1, 1)),
+                cam_t=jnp.zeros((2, 3), jnp.float32),
+                cam_fixed=jnp.asarray([True, False]),
+                cam_valid=jnp.asarray([True, True]),
+                lm_pos=jnp.zeros((L, 3), jnp.float32),
+                lm_valid=jnp.zeros(L, bool),
+                obs_cam=jnp.zeros((L, D), jnp.int32),
+                obs_uv=jnp.zeros((L, D, 2), jnp.float32),
+                obs_x_right=jnp.full((L, D), -1.0),
+                obs_inv_sigma_sq=jnp.ones((L, D), jnp.float32),
+                obs_valid=jnp.zeros((L, D), bool),
+            )
+            res = ba_mod.bundle_adjust(
+                prob, make_cam_scalars(self.camera),
+                model=self.camera.model.name.lower(),
+            )
+            jax.block_until_ready(res.cost)
+        except Exception:  # pragma: no cover - best-effort prewarm
+            pass
+
+    def _compile_track_variants(self, N: int, C: int):
         f32 = lambda *s: jnp.zeros(s, jnp.float32)
         i32 = lambda *s: jnp.zeros(s, jnp.int32)
         u32 = lambda *s: jnp.zeros(s, jnp.uint32)
@@ -228,6 +276,34 @@ class TrackingModule:
                 ))
         for out in outs:
             jax.block_until_ready(out.R_cw)
+
+    def _warm_capacity_async(self, C: int):
+        """Compile the tracking program for table capacity `C` on a daemon
+        thread (JAX compilation is thread-safe; the running pipeline only
+        hits the compile cache). Called with the NEXT power-of-two bucket
+        every dispatch, so a growing map always finds its program ready —
+        measured mid-run growth stall without this: ~2.2 s at the first
+        4096-row dispatch."""
+        if self._warm_num_slots is None or C in self._warmed_caps:
+            return
+        self._warmed_caps.add(C)
+        N = self._warm_num_slots
+
+        def _bg():
+            try:
+                self._compile_track_variants(N, C)
+            except Exception:  # pragma: no cover - best-effort prewarm
+                self._warmed_caps.discard(C)
+
+        th = threading.Thread(target=_bg, daemon=True, name=f"warm-cap-{C}")
+        self._warm_threads.append(th)
+        th.start()
+
+    def join_warm_threads(self, timeout: float = 60.0):
+        deadline = _time.time() + timeout
+        for th in self._warm_threads:
+            th.join(max(0.0, deadline - _time.time()))
+        self._warm_threads = [t for t in self._warm_threads if t.is_alive()]
 
     # ------------------------------------------------------------------
     def feed_frame(self, frm: Frame) -> Optional[np.ndarray]:
@@ -298,8 +374,8 @@ class TrackingModule:
         if (
             self._pending
             and self._chain_tbl_version is not None
-            and tbl.pos is not None
-            and tbl.version != self._chain_tbl_version
+            and tbl.snap is not None
+            and tbl.snap.version != self._chain_tbl_version
         ):
             # The mapper published a new device table (keyframe event: local
             # BA moved landmarks/keyframes, fusion replaced some). The chained
@@ -411,10 +487,15 @@ class TrackingModule:
             # no reference keyframe: cannot track
             self.state = STATE_LOST
             return
-        tbl = self.map_db.device_table
-        if tbl.pos is None:
+        if self.map_db.device_table.snap is None:
             self.map_db.refresh_device_table()
-            tbl = self.map_db.device_table
+        # ONE reference read: every table tensor this dispatch uses comes
+        # from this coherent snapshot (the mapper may publish a newer one
+        # concurrently — next dispatch picks it up)
+        tbl = self.map_db.device_table.snap
+        # keep the next capacity bucket compiled ahead of map growth
+        self._warmed_caps.add(tbl.pos.shape[0])
+        self._warm_capacity_async(2 * tbl.pos.shape[0])
         if (
             not self._pending
             and self._chain_tbl_version is not None
@@ -462,7 +543,7 @@ class TrackingModule:
             # covisibility neighborhood, NOT the whole map — matching against
             # distant (possibly drifted) landmarks creates aliased
             # associations that silently absorb loops (local_map_updater.cc)
-            tbl.track_valid if tbl.track_valid is not None else tbl.valid,
+            tbl.track_valid,
             tbl.ids_dev,
             R_last, t_last, R_prev, t_prev,
             use_motion=use_motion, margin_local=float(margin),
@@ -796,10 +877,19 @@ class TrackingModule:
         self.twist = None
         return True
 
+    @staticmethod
+    def _init_ba_capacity(num_slots: int) -> int:
+        """Fixed landmark capacity of the two-keyframe init BA: ONE shape
+        per feature budget, so the program is compiled once (and found in
+        the persistent cache across runs). A data-dependent pow2 bucket
+        recompiled per run — measured 10 s mid-init on a cache miss."""
+        return max(64, 1 << int(np.ceil(np.log2(max(num_slots, 2)))))
+
     def _init_map_ba(self, kf1: Keyframe, kf2: Keyframe):
         map_db = self.map_db
         lm_ids = sorted(map_db.landmarks.keys())
-        L = max(64, 1 << int(np.ceil(np.log2(max(len(lm_ids), 2)))))
+        L = self._init_ba_capacity(kf1.num_slots)
+        lm_ids = lm_ids[:L]  # cannot exceed L (<= one landmark per slot)
         D = 2
         inv_sigma = np.asarray(self.orb_params.inv_level_sigma_sq, np.float32)
         cam_R = np.stack([kf1.rot_cw, kf2.rot_cw]).astype(np.float32)
