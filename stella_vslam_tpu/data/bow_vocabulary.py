@@ -101,8 +101,15 @@ class BowVocabulary:
     def compute_bow(self, desc_u32: np.ndarray, valid: np.ndarray):
         """Host entry: returns (word_ids [N] i64 with -1 invalid,
         bow dict word->tf weight, L1-normalized)."""
-        words = np.asarray(self.transform(jnp.asarray(desc_u32))).astype(np.int64)
-        words = np.where(valid, words, -1)
+        words = np.asarray(self.transform(jnp.asarray(desc_u32)))
+        return self.words_to_bow(words, valid)
+
+    @staticmethod
+    def words_to_bow(words: np.ndarray, valid: np.ndarray):
+        """Host half of compute_bow, split out so callers can overlap the
+        device `transform` fetch with other round trips (the mapper fetches
+        word ids together with its triangulation results)."""
+        words = np.where(valid, words.astype(np.int64), -1)
         vw = words[words >= 0]
         if len(vw) == 0:
             return words, {}

@@ -47,10 +47,22 @@ class TableSnap(NamedTuple):
 
 
 class DeviceLandmarkTable:
-    """Fixed-capacity device mirror of the landmark set (grows by doubling)."""
+    """Fixed-capacity device mirror of the (covisibility-local) landmark set.
 
-    def __init__(self, capacity: int = 2048):
-        self.min_capacity = capacity
+    The capacity is ONE compile-time constant for the whole run: every
+    tracking-program variant is compiled against it once at warmup and no
+    capacity growth can ever trigger a mid-run compile. On the tunneled
+    backend a compile — even a background-thread compile of a bucket that
+    is never used — blocks the device pipeline for seconds (measured: a
+    proactive 8192-row warm compile stalled tracking 12.5 s), so growth
+    buckets are a net loss; the local map is bounded by construction
+    (~60 keyframes, reference local_map_updater) and rows beyond capacity
+    are truncated in priority order instead."""
+
+    def __init__(self, capacity: Optional[int] = None):
+        if capacity is None:
+            import os
+            capacity = int(os.environ.get("SVT_TABLE_CAP", "4096"))
         self.capacity = capacity
         self.count = 0
         self.version = 0
@@ -93,27 +105,27 @@ class DeviceLandmarkTable:
         self._pend_observed = {}
 
     def refresh(self, landmarks: Dict[int, Landmark], map_db,
-                local_ids: Optional[set] = None):
+                local_ids=None):
         """`local_ids`: landmark ids in the covisibility-local map (reference
-        local_map_updater semantics). When given, the table holds ONLY those
-        rows — the tracking sweep's cost is proportional to the table
-        capacity, and the local map is bounded (<= ~60 keyframes), so keeping
-        the table local-compact is both the reference semantics and the fast
-        layout. None = all live landmarks (small maps / no center). Capacity
-        snaps to power-of-two buckets to bound jit recompiles."""
+        local_map_updater semantics), in PRIORITY order (center keyframe's
+        landmarks first, then 1st-order covisibilities, then 2nd-order) —
+        rows past the fixed capacity are dropped from the back. When given,
+        the table holds ONLY those rows — the tracking sweep's cost is
+        proportional to the table capacity, and the local map is bounded
+        (<= ~60 keyframes), so keeping the table local-compact is both the
+        reference semantics and the fast layout. None = all live landmarks
+        (small maps / no center)."""
         self._fold_counters(landmarks)
         if local_ids is None:
             lms = [lm for lm in landmarks.values() if not lm.will_be_erased]
         else:
             lms = [
-                landmarks[i] for i in sorted(local_ids)
+                landmarks[i] for i in local_ids
                 if i in landmarks and not landmarks[i].will_be_erased
             ]
+        C = self.capacity
+        lms = lms[:C]
         n = len(lms)
-        C = self.min_capacity
-        while n > C:
-            C *= 2
-        self.capacity = C
         pos = np.zeros((C, 3), np.float32)
         desc = np.zeros((C, 8), np.uint32)
         normal = np.zeros((C, 3), np.float32)
@@ -153,7 +165,8 @@ class DeviceLandmarkTable:
 
 
 class MapDatabase:
-    def __init__(self, min_num_shared_lms: int = 15, device_table_capacity: int = 2048):
+    def __init__(self, min_num_shared_lms: int = 15,
+                 device_table_capacity: Optional[int] = None):
         self.lock = threading.RLock()
         self.keyframes: Dict[int, Keyframe] = {}
         self.landmarks: Dict[int, Landmark] = {}
@@ -394,13 +407,19 @@ class MapDatabase:
                     kf = self.keyframes.get(k)
                     if kf is not None:
                         second += kf.graph_node.get_top_n_covisibilities(10)
-                local_ids = set()
+                # ordered + unique: the table truncates past its fixed
+                # capacity, so closer keyframes' landmarks must come first
+                seen = set()
+                local_ids = []
                 for k in dict.fromkeys(kf_ids + second):
                     kf = self.keyframes.get(k)
                     if kf is None or kf.will_be_erased:
                         continue
                     for lm_id in kf.lm_ids[kf.lm_ids >= 0]:
-                        local_ids.add(int(lm_id))
+                        lm_id = int(lm_id)
+                        if lm_id not in seen:
+                            seen.add(lm_id)
+                            local_ids.append(lm_id)
             self.device_table.refresh(self.landmarks, self, local_ids=local_ids)
 
     # ---- reset / serialization ----

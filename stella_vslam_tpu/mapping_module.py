@@ -14,6 +14,7 @@ mirror is refreshed so the tracking thread always consumes a recent snapshot.
 """
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 import time
@@ -32,6 +33,8 @@ from stella_vslam_tpu.module.mapping_kernels import MappingKernels
 from stella_vslam_tpu.ops.optim import ba as ba_mod
 from stella_vslam_tpu.module.tracking_kernels import make_cam_scalars
 from stella_vslam_tpu.util.fetch import fetch_all
+
+_log = logging.getLogger(__name__)
 
 
 class MappingModule:
@@ -175,21 +178,44 @@ class MappingModule:
     # ------------------------------------------------------------------
     def mapping_with_new_keyframe(self, cur: Keyframe):
         map_db = self.map_db
-        # store: BoW for place recognition (mapping_module.cc store_new_keyframe)
+        _t = [time.monotonic()]
+        _mark = lambda: _t.append(time.monotonic())
+        # store: BoW for place recognition (mapping_module.cc
+        # store_new_keyframe). Only the DISPATCH happens here — the word ids
+        # ride back with the triangulation fetch (one tunnel round trip
+        # instead of two; a blocking fetch costs ~40-70 ms loaded).
+        bow_dev = None
         if self.bow_db is not None and cur.id not in self.bow_db.bow_vecs:
-            _, bow_vec = self.bow_db.vocab.compute_bow(cur.h_desc, cur.h_valid)
-            self.bow_db.add_keyframe(cur.id, bow_vec)
+            bow_dev = self.bow_db.vocab.transform(jnp.asarray(cur.feats.desc))
+        _mark()
         self.cleaner.remove_invalid_landmarks(map_db, cur.id)
-        self.create_new_landmarks(cur)
+        _mark()
+        bow_words = self.create_new_landmarks(cur, extra_fetch=bow_dev)
+        if bow_dev is not None:
+            if bow_words is None:  # triangulation skipped: fetch alone
+                bow_words = np.asarray(bow_dev)
+            _, bow_vec = self.bow_db.vocab.words_to_bow(bow_words, cur.h_valid)
+            self.bow_db.add_keyframe(cur.id, bow_vec)
+        _mark()
         self.fuse_landmark_duplication(cur)
+        _mark()
         cur.graph_node.update_connections(map_db)
+        _mark()
         if self.enable_local_ba and map_db.num_keyframes() > 2 and not self.is_skipping_localBA():
             self.local_bundle_adjustment(cur)
+        _mark()
         self.remove_temporal_keyframes(cur)
         self.cleaner.remove_redundant_keyframes(map_db, cur)
+        _mark()
         # tracking-visible rows = covisibility-local map around the newest
         # keyframe (reference local_map_updater neighborhood)
         map_db.refresh_device_table(center_kf_id=cur.id)
+        _mark()
+        _log.debug(
+            "kf %d mapped in %.0f ms: bow=%.0f cull=%.0f tri=%.0f fuse=%.0f "
+            "conn=%.0f ba=%.0f redu=%.0f tbl=%.0f", cur.id,
+            (_t[-1] - _t[0]) * 1e3,
+            *[(_t[i + 1] - _t[i]) * 1e3 for i in range(8)])
 
     # ------------------------------------------------------------------
     def remove_temporal_keyframes(self, cur: Keyframe,
@@ -212,11 +238,15 @@ class MappingModule:
                 map_db.erase_keyframe(k)
 
     # ------------------------------------------------------------------
-    def create_new_landmarks(self, cur: Keyframe):
+    def create_new_landmarks(self, cur: Keyframe, extra_fetch=None):
+        """Triangulate vs top-N covisibilities. `extra_fetch` is an optional
+        device array materialized in the SAME round trip as the
+        triangulation results and returned (None when triangulation was
+        skipped and nothing was fetched)."""
         map_db = self.map_db
         covis = cur.graph_node.get_top_n_covisibilities(self.num_covis_tri)
         if not covis:
-            return
+            return None
         median_depth = cur.compute_median_depth(map_db, use_abs=True)
         # eligible neighbors after the baseline check (mapping_module.cc:286-300)
         neighbors = []
@@ -233,7 +263,7 @@ class MappingModule:
                     continue
             neighbors.append(other)
         if not neighbors:
-            return
+            return None
         B = 5
         neighbors = neighbors[:B]
         pair_valid = np.zeros(B, bool)
@@ -256,7 +286,12 @@ class MappingModule:
         res = self.kernels.triangulate_gather(
             cur_args, tuple(kf_tuple(o) for o in padded), pair_valid,
         )
-        ok_all, pos_all, idx2_all = fetch_all(res.ok, res.pos_w, res.idx2)
+        if extra_fetch is not None:
+            ok_all, pos_all, idx2_all, extra_host = fetch_all(
+                res.ok, res.pos_w, res.idx2, extra_fetch)
+        else:
+            ok_all, pos_all, idx2_all = fetch_all(res.ok, res.pos_w, res.idx2)
+            extra_host = None
         new_lms = []
         with map_db.lock:
             for b, other in enumerate(neighbors):
@@ -282,7 +317,14 @@ class MappingModule:
     # ------------------------------------------------------------------
     def fuse_landmark_duplication(self, cur: Keyframe):
         """Fuse current keyframe's landmarks into first/second-order
-        covisibilities and vice versa (mapping_module.cc:417-537)."""
+        covisibilities and vice versa (mapping_module.cc:417-537).
+
+        Both directions are DISPATCHED up front and materialized with ONE
+        grouped fetch (each blocking fetch costs a ~10-40 ms tunnel round
+        trip). Direction 2's candidate set is collected before direction 1
+        is applied — any landmark direction 1 replaces is skipped at apply
+        time by its will_be_erased check, so the result matches the
+        reference's sequential order."""
         map_db = self.map_db
         targets = cur.graph_node.get_top_n_covisibilities(10)
         seconds = []
@@ -291,6 +333,9 @@ class MappingModule:
             if kf:
                 seconds.extend(kf.graph_node.get_top_n_covisibilities(5))
         fuse_targets = [t for t in dict.fromkeys(targets + seconds) if t != cur.id]
+        tgt_kfs = [
+            map_db.keyframes[t] for t in fuse_targets if t in map_db.keyframes
+        ]
 
         # direction 1: current landmarks -> each target keyframe
         cur_lms = [
@@ -298,25 +343,34 @@ class MappingModule:
             for lm_id in cur.lm_ids if lm_id >= 0
         ]
         cur_lms = [(i, lm) for i, lm in cur_lms if lm is not None and not lm.will_be_erased]
-        if cur_lms:
-            self._fuse_into(map_db, [map_db.keyframes[t] for t in fuse_targets
-                                     if t in map_db.keyframes], cur_lms)
         # direction 2: target landmarks -> current keyframe. Id collection is
         # vectorized (np.unique over the stacked association arrays): the
         # nested Python loop costs ~10-40 ms per keyframe event at 40 targets
         # x ~1200 slots.
-        tgt_kfs = [
-            map_db.keyframes[t] for t in fuse_targets if t in map_db.keyframes
-        ]
+        tgt_lm_ids = []
         if tgt_kfs:
             ids = np.unique(np.concatenate([kf.lm_ids for kf in tgt_kfs]))
-            tgt_lm_ids = []
             for lm_id in ids[ids >= 0]:
                 lm = map_db.landmarks.get(int(lm_id))
                 if lm is not None and not lm.will_be_erased:
                     tgt_lm_ids.append((int(lm_id), lm))
-            if tgt_lm_ids:
-                self._fuse_into(map_db, [cur], tgt_lm_ids)
+
+        chunks1 = self._dispatch_fuse(tgt_kfs, cur_lms) if cur_lms else []
+        chunks2 = self._dispatch_fuse([cur], tgt_lm_ids) if tgt_lm_ids else []
+        chunks = chunks1 + chunks2
+        if not chunks:
+            return
+        fetched = fetch_all(*[c[4] for c in chunks], *[c[5] for c in chunks])
+        n = len(chunks)
+        with map_db.lock:
+            touched = []
+            for ci, (lm_list, kf_chunk, m0, msz, _, _) in enumerate(chunks):
+                self._apply_fuse_chunk(
+                    map_db, kf_chunk, lm_list, m0, msz, fetched[ci],
+                    fetched[n + ci], touched,
+                )
+            map_db.batch_refresh_landmark_stats(
+                touched, self.orb_params.scale_factors)
 
     # fixed fuse program shape: every dispatch is exactly (KF_CHUNK keyframes
     # x LM_CHUNK landmarks). Shape buckets looked cheaper per dispatch but
@@ -326,14 +380,18 @@ class MappingModule:
     FUSE_KF_CHUNK = 8
     FUSE_LM_CHUNK = 1024
 
-    def _fuse_into(self, map_db, keyframes, lm_list, margin: float = 3.0):
+    def _dispatch_fuse(self, keyframes, lm_list, margin: float = 3.0):
+        """Dispatch the fuse programs for (keyframes x lm_list); returns a
+        list of chunk records (lm_list, kf_chunk, m0, msz, best_dev,
+        acc_dev) whose device arrays the caller fetches (grouped with other
+        round trips) and applies via _apply_fuse_chunk."""
         if not lm_list:
-            return
+            return []
         keyframes = [
             kf for kf in keyframes if kf is not None and not kf.will_be_erased
         ]
         if not keyframes:
-            return
+            return []
         KC, MC = self.FUSE_KF_CHUNK, self.FUSE_LM_CHUNK
         lm_pos = np.array([lm.pos_w for _, lm in lm_list], np.float32)
         lm_desc = np.stack([lm.descriptor for _, lm in lm_list])
@@ -346,7 +404,6 @@ class MappingModule:
             kf.x_right,
             kf.rot_cw.astype(np.float32), kf.trans_cw.astype(np.float32),
         )
-        # dispatch every chunk pair first (they pipeline), fetch once
         chunks = []
         for k0 in range(0, len(keyframes), KC):
             kf_chunk = keyframes[k0:k0 + KC]
@@ -368,16 +425,23 @@ class MappingModule:
                     pad(lm_norm), lm_valid,
                     margin=margin,
                 )
-                chunks.append((kf_chunk, m0, msz, best, acc))
-        fetched = fetch_all(*[c[3] for c in chunks], *[c[4] for c in chunks])
+                chunks.append((lm_list, kf_chunk, m0, msz, best, acc))
+        return chunks
+
+    def _fuse_into(self, map_db, keyframes, lm_list, margin: float = 3.0):
+        """Dispatch + fetch + apply in one call (used by the loop-closing
+        thread; the mapper's keyframe path groups fetches across both fuse
+        directions instead)."""
+        chunks = self._dispatch_fuse(keyframes, lm_list, margin=margin)
+        if not chunks:
+            return
+        fetched = fetch_all(*[c[4] for c in chunks], *[c[5] for c in chunks])
         touched = []
         with map_db.lock:
-            for ci, (kf_chunk, m0, msz, _, _) in enumerate(chunks):
-                best_all = fetched[ci]
-                acc_all = fetched[len(chunks) + ci]
+            for ci, (lms, kf_chunk, m0, msz, _, _) in enumerate(chunks):
                 self._apply_fuse_chunk(
-                    map_db, kf_chunk, lm_list, m0, msz, best_all, acc_all,
-                    touched,
+                    map_db, kf_chunk, lms, m0, msz, fetched[ci],
+                    fetched[len(chunks) + ci], touched,
                 )
             map_db.batch_refresh_landmark_stats(
                 touched, self.orb_params.scale_factors)

@@ -291,24 +291,37 @@ def bundle_adjust(
     precomputed 25 MB tensor from HBM each iteration."""
 
     def stage(cam_R, cam_t, lm_pos, inlier, use_huber, iters):
-        def body(carry, _):
-            cam_R, cam_t, lm_pos, lam = carry
+        # LM loop with gain-based early termination (the reference registers
+        # a g2o post-iteration action stopping when the relative cost gain
+        # drops under 1e-3 — optimize/terminate_action.cc, wired at
+        # local_bundle_adjuster_g2o.cc:157-159). lax.while_loop gives the
+        # dynamic trip count: typical local problems stop after 3-6
+        # iterations instead of burning the full schedule on device.
+        def cond(carry):
+            it, done, *_ = carry
+            return (it < iters) & ~done
+
+        def body(carry):
+            it, done, cam_R, cam_t, lm_pos, lam, _ = carry
             cost0, blocks, oh = _linearize(
                 prob, cam_R, cam_t, lm_pos, inlier, cam, model, use_huber)
             Rn, tn, pn = _solve_schur(
                 prob, cam_R, cam_t, lm_pos, blocks, lam, oh)
             cost1, _, _ = _total_cost(prob, Rn, tn, pn, inlier, cam, model, use_huber)
             improved = cost1 < cost0
+            gain = (cost0 - cost1) / jnp.maximum(cost0, 1e-12)
+            done = improved & (gain < 1e-3)
             cam_R = jnp.where(improved, Rn, cam_R)
             cam_t = jnp.where(improved, tn, cam_t)
             lm_pos = jnp.where(improved, pn, lm_pos)
             lam = jnp.clip(jnp.where(improved, lam * 0.5, lam * 4.0), 1e-8, 1e4)
-            return (cam_R, cam_t, lm_pos, lam), cost1
+            return (it + 1, done, cam_R, cam_t, lm_pos, lam, cost1)
 
-        (cam_R, cam_t, lm_pos, _), costs = jax.lax.scan(
-            body, (cam_R, cam_t, lm_pos, jnp.float32(1e-4)), None, length=iters
-        )
-        return cam_R, cam_t, lm_pos, costs[-1]
+        init = (jnp.int32(0), jnp.asarray(False), cam_R, cam_t, lm_pos,
+                jnp.float32(1e-4), jnp.float32(jnp.inf))
+        _, _, cam_R, cam_t, lm_pos, _, cost = jax.lax.while_loop(
+            cond, body, init)
+        return cam_R, cam_t, lm_pos, cost
 
     inlier0 = jnp.ones_like(prob.obs_valid)
     R1, t1, p1, cost1 = stage(prob.cam_R, prob.cam_t, prob.lm_pos, inlier0, True, num_first)

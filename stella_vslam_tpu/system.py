@@ -197,7 +197,7 @@ class System:
 
     def warmup(self):
         n = self.extractor.num_slots
-        self.tracker.warmup(n, self.map_db.device_table.min_capacity)
+        self.tracker.warmup(n, self.map_db.device_table.capacity)
         self.mapper.warmup(n)
         # relocalization programs compile in the background (off the
         # startup critical path — reloc is rare but its cold compile

@@ -20,6 +20,7 @@ values from the not-yet-finalized previous frame.
 """
 from __future__ import annotations
 
+import logging
 import threading
 import time as _time
 from typing import Optional
@@ -37,6 +38,8 @@ from stella_vslam_tpu.module.keyframe_inserter import KeyframeInserter
 from stella_vslam_tpu.module.tracking_kernels import TrackingKernels, make_cam_scalars
 from stella_vslam_tpu.ops.optim import ba as ba_mod
 from stella_vslam_tpu.util.fetch import fetch_all
+
+_log = logging.getLogger(__name__)
 
 STATE_INITIALIZING = "Initializing"
 STATE_TRACKING = "Tracking"
@@ -59,7 +62,6 @@ class _Pending:
         self.tbl_ids = tbl_ids
         self.host_packed = None  # numpy result, set by the fetcher thread
         self.fetched = None  # threading.Event, set when host_packed landed
-        import time as _time
         self.t_dispatch = _time.monotonic()
 
 
@@ -199,25 +201,21 @@ class TrackingModule:
         self._kf_for_assoc = None
         # finalized per-frame results: (frame_id, ts, pose_cw|None, ref_kf_id)
         self.finalized = []
-        # table-capacity buckets whose tracking program is compiled (or
-        # compiling in the background) — see _warm_capacity_async
-        self._warmed_caps: set = set()
-        self._warm_num_slots: Optional[int] = None
         self._warm_threads: list = []  # joined at System.shutdown: a compile
         # thread killed at interpreter exit aborts inside the PJRT client
 
     # ------------------------------------------------------------------
-    def warmup(self, num_slots: int, table_capacity: int = 2048):
+    def warmup(self, num_slots: int, table_capacity: int = 4096):
         """Pre-trace + compile/load the tracking program in every static-arg
-        variant the state machine can dispatch (motion x margin). The
-        margin-switch variants otherwise compile mid-run at the first
-        post-reloc frame — a multi-second stall at the worst moment."""
-        self._warm_num_slots = num_slots
+        variant the state machine can dispatch (motion x margin), at the
+        table's ONE fixed capacity. The margin-switch variants otherwise
+        compile mid-run at the first post-reloc frame — a multi-second stall
+        at the worst moment. There is deliberately no capacity-growth
+        warming: on the tunneled backend even a background-thread compile
+        blocks the device pipeline for its whole duration (measured 12.5 s
+        for a speculative next-bucket warm), so the device table never
+        changes shape after startup (DeviceLandmarkTable truncates instead)."""
         self._compile_track_variants(num_slots, table_capacity)
-        self._warmed_caps.add(table_capacity)
-        # the next capacity bucket compiles in the background so table
-        # growth past `table_capacity` rows never stalls a frame
-        self._warm_capacity_async(2 * table_capacity)
         # two-keyframe init BA: background compile overlaps the pre-init
         # frames; at worst the init waits on the in-flight compile (jit
         # dedups concurrent lowerings of one signature)
@@ -276,28 +274,6 @@ class TrackingModule:
                 ))
         for out in outs:
             jax.block_until_ready(out.R_cw)
-
-    def _warm_capacity_async(self, C: int):
-        """Compile the tracking program for table capacity `C` on a daemon
-        thread (JAX compilation is thread-safe; the running pipeline only
-        hits the compile cache). Called with the NEXT power-of-two bucket
-        every dispatch, so a growing map always finds its program ready —
-        measured mid-run growth stall without this: ~2.2 s at the first
-        4096-row dispatch."""
-        if self._warm_num_slots is None or C in self._warmed_caps:
-            return
-        self._warmed_caps.add(C)
-        N = self._warm_num_slots
-
-        def _bg():
-            try:
-                self._compile_track_variants(N, C)
-            except Exception:  # pragma: no cover - best-effort prewarm
-                self._warmed_caps.discard(C)
-
-        th = threading.Thread(target=_bg, daemon=True, name=f"warm-cap-{C}")
-        self._warm_threads.append(th)
-        th.start()
 
     def join_warm_threads(self, timeout: float = 60.0):
         deadline = _time.time() + timeout
@@ -386,9 +362,12 @@ class TrackingModule:
             # never empty and the chain drifts away from the optimized map
             # until tracking is lost (the reference instead re-reads the map
             # under its mutex every frame, tracking_module.cc:193).
+            t0 = _time.monotonic()
             self._flush_batch()
             while self._pending:
                 self._finalize_one()
+            _log.debug("drain bubble frame %d: %.1f ms", frm.id,
+                       (_time.monotonic() - t0) * 1e3)
             if self.state != STATE_TRACKING:
                 # drained frames flipped the state (lost/reset)
                 return self._feed_frame_locked(frm)
@@ -400,7 +379,6 @@ class TrackingModule:
             return self.last_frm.pose_cw if self.last_frm is not None else None
         self._ensure_fin_thread()
         self._cond.notify_all()
-        import time as _time
         # while the mapper is actively processing a keyframe, its sequential
         # device round trips queue behind every in-flight tracking program —
         # at full depth the mapper crawls (measured 10-30 s/keyframe vs ~1 s
@@ -434,7 +412,6 @@ class TrackingModule:
         """Finalize pending frames in dispatch order as their batch fetches
         land. Holds the tracker lock only for the bookkeeping itself, never
         while waiting on the tunnel."""
-        import time as _time
         while True:
             with self._cond:
                 while not self._pending:
@@ -493,9 +470,6 @@ class TrackingModule:
         # from this coherent snapshot (the mapper may publish a newer one
         # concurrently — next dispatch picks it up)
         tbl = self.map_db.device_table.snap
-        # keep the next capacity bucket compiled ahead of map growth
-        self._warmed_caps.add(tbl.pos.shape[0])
-        self._warm_capacity_async(2 * tbl.pos.shape[0])
         if (
             not self._pending
             and self._chain_tbl_version is not None
@@ -619,6 +593,10 @@ class TrackingModule:
             tracked_ok = tracked_ok and num_final >= self.num_matches_thr
 
         if not tracked_ok:
+            _log.debug(
+                "frame %d lost: stage1=%d fallback=%d candidates=%d "
+                "inliers=%d (needed %d)", frm.id, int(counts[0]),
+                int(counts[1]), int(counts[2]), num_final, min_needed)
             self._on_lost(frm)
             return
 
@@ -661,6 +639,7 @@ class TrackingModule:
 
         # keyframe insertion
         if self.mapping_is_enabled:
+            t0 = _time.monotonic()
             ref_kf = self.map_db.keyframes.get(self.ref_keyfrm_id)
             # reliable = tracked landmarks with >= min_num_obs_thr
             # observations (tracking_module.cc:143-144)
@@ -670,6 +649,7 @@ class TrackingModule:
                 lm = self.map_db.landmarks.get(int(lm_id))
                 if lm is not None and lm.num_observations() >= min_obs:
                     num_reliable += 1
+            t1 = _time.monotonic()
             if self.keyfrm_inserter.new_keyframe_is_needed(
                 self.map_db, frm, num_final, self.last_keyfrm_time, ref_kf,
                 num_reliable=num_reliable,
@@ -677,6 +657,10 @@ class TrackingModule:
                 kf = self.keyfrm_inserter.insert_new_keyframe(self.map_db, frm)
                 self.ref_keyfrm_id = kf.id
                 self.last_keyfrm_time = frm.timestamp
+                _log.debug(
+                    "kf insert frame %d: reliable-count %.1f ms, "
+                    "insert %.1f ms", frm.id, (t1 - t0) * 1e3,
+                    (_time.monotonic() - t1) * 1e3)
         frm.ref_keyfrm_id = self.ref_keyfrm_id
         # frame statistics: relative pose to the reference keyframe so the
         # exported trajectory benefits from later keyframe-pose refinement
