@@ -176,6 +176,9 @@ class MapDatabase:
         self.origin_keyfrm_id: Optional[int] = None
         # temporal mapping: keyframes with id <= fixed threshold are frozen
         self.fixed_keyframe_id_threshold = -1
+        # bumped on clear/loop-correction; deferred writebacks carry the
+        # epoch they were dispatched under and skip apply on mismatch
+        self.epoch = 0
         self.device_table = DeviceLandmarkTable(device_table_capacity)
         self.local_landmark_ids: list = []
         self.on_erase_keyframe: list = []  # callbacks(kf_id)
@@ -423,8 +426,15 @@ class MapDatabase:
             self.device_table.refresh(self.landmarks, self, local_ids=local_ids)
 
     # ---- reset / serialization ----
+    def bump_epoch(self):
+        """Invalidate in-flight deferred writebacks (the mapper's pending
+        local BA): called on clear and on loop correction."""
+        with self.lock:
+            self.epoch += 1
+
     def clear(self):
         with self.lock:
+            self.epoch += 1
             self.keyframes.clear()
             self.landmarks.clear()
             self.origin_keyfrm_id = None

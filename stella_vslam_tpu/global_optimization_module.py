@@ -132,6 +132,10 @@ class GlobalOptimizationModule:
 
         try:
             with map_db.lock:
+                # invalidate any BA writeback still in flight on the mapper:
+                # applying pre-correction poses after this point would undo
+                # the correction (inline mode / pause-timeout path)
+                map_db.bump_epoch()
                 s_cw, R_cw, t_cw = sim3_cw
                 # non-corrected Sim3 of current
                 R_old, t_old = cur_kf.rot_cw, cur_kf.trans_cw

@@ -60,6 +60,15 @@ class MappingModule:
 
         self._queue: "queue.Queue[Keyframe]" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
+        # local BA in flight: dispatched during the keyframe event, fetched +
+        # written back on the mapper thread's next idle tick (or at the next
+        # keyframe event / pause / terminate, whichever comes first). The
+        # ~100-200 ms result round trip overlaps tracking instead of
+        # extending the keyframe event's critical path.
+        self._pending_ba = None
+        # True = fetch + apply BA inside the keyframe event (deterministic
+        # inline mode); System sets it from inline_mapping.
+        self.synchronous_ba = False
         self._terminate = threading.Event()
         self._pause_requested = threading.Event()
         self._paused = threading.Event()
@@ -117,6 +126,10 @@ class MappingModule:
                 model=self.camera.model.name.lower(),
             )
             jax.block_until_ready(res.cost)
+        if self.bow_db is not None:
+            # the BoW tree-descent program otherwise compiles at the FIRST
+            # keyframe event (measured 520 ms mid-run)
+            jax.block_until_ready(self.bow_db.vocab.transform(u32(N, 8)))
 
     def async_add_keyframe(self, kf: Keyframe):
         self._queue.put(kf)
@@ -159,12 +172,19 @@ class MappingModule:
     def run(self):
         while not self._terminate.is_set():
             if self._pause_requested.is_set():
+                # settle in-flight BA before acknowledging the pause: the
+                # loop-closing thread corrects the map right after is_paused
+                # flips, and a post-correction BA writeback would undo it
+                self.apply_pending_ba()
                 self._paused.set()
                 time.sleep(0.005)
                 continue
             try:
                 kf = self._queue.get(timeout=0.005)
             except queue.Empty:
+                # idle tick: land the deferred BA writeback (its device
+                # round trip overlapped the tracking frames since dispatch)
+                self.apply_pending_ba()
                 continue
             self._idle.clear()
             try:
@@ -174,48 +194,90 @@ class MappingModule:
             finally:
                 self._idle.set()
                 self.num_processed += 1
+        self.apply_pending_ba()  # settle before the thread exits
 
     # ------------------------------------------------------------------
     def mapping_with_new_keyframe(self, cur: Keyframe):
+        """One keyframe event (reference mapping_module.cc:148-243), with the
+        device work batched into TWO round trips instead of four:
+
+        1. BoW transform + triangulation + BOTH fuse directions are
+           dispatched up front and materialized with ONE grouped fetch. The
+           fuse candidates are collected before the triangulation results
+           land, so freshly triangulated landmarks are fused one keyframe
+           late (they are in the next keyframe's covisibility targets; the
+           reference fuses them immediately, mapping_module.cc:417-443).
+        2. Local BA is dispatched here but fetched + written back on the
+           mapper's next idle tick (apply_pending_ba) — its result round
+           trip overlaps the tracking pipeline instead of blocking it.
+
+        The device landmark table is published ONCE per event (after the BA
+        writeback when BA ran): each publish costs the tracker a pipeline
+        drain bubble (~50-65 ms measured)."""
         map_db = self.map_db
+        self.apply_pending_ba()  # settle the previous keyframe's BA first
         _t = [time.monotonic()]
         _mark = lambda: _t.append(time.monotonic())
         # store: BoW for place recognition (mapping_module.cc
-        # store_new_keyframe). Only the DISPATCH happens here — the word ids
-        # ride back with the triangulation fetch (one tunnel round trip
-        # instead of two; a blocking fetch costs ~40-70 ms loaded).
+        # store_new_keyframe). Only the DISPATCH happens here.
         bow_dev = None
         if self.bow_db is not None and cur.id not in self.bow_db.bow_vecs:
             bow_dev = self.bow_db.vocab.transform(jnp.asarray(cur.feats.desc))
-        _mark()
         self.cleaner.remove_invalid_landmarks(map_db, cur.id)
         _mark()
-        bow_words = self.create_new_landmarks(cur, extra_fetch=bow_dev)
-        if bow_dev is not None:
-            if bow_words is None:  # triangulation skipped: fetch alone
-                bow_words = np.asarray(bow_dev)
-            _, bow_vec = self.bow_db.vocab.words_to_bow(bow_words, cur.h_valid)
-            self.bow_db.add_keyframe(cur.id, bow_vec)
+        tri = self._dispatch_triangulation(cur)
+        fuse_chunks = self._collect_fuse_chunks(cur)
         _mark()
-        self.fuse_landmark_duplication(cur)
+        handles = []
+        if tri is not None:
+            res, _ = tri
+            handles += [res.ok, res.pos_w, res.idx2]
+        if bow_dev is not None:
+            handles.append(bow_dev)
+        handles += [c[4] for c in fuse_chunks]
+        handles += [c[5] for c in fuse_chunks]
+        fetched = list(fetch_all(*handles)) if handles else []
+        _mark()
+        if tri is not None:
+            ok_all, pos_all, idx2_all = fetched[0], fetched[1], fetched[2]
+            fetched = fetched[3:]
+            self._apply_triangulation(cur, tri[1], ok_all, pos_all, idx2_all)
+        if bow_dev is not None:
+            _, bow_vec = self.bow_db.vocab.words_to_bow(fetched[0], cur.h_valid)
+            self.bow_db.add_keyframe(cur.id, bow_vec)
+            fetched = fetched[1:]
+        if fuse_chunks:
+            n = len(fuse_chunks)
+            touched = []
+            with map_db.lock:
+                for ci, (lms, kf_chunk, m0, msz, _, _) in enumerate(fuse_chunks):
+                    self._apply_fuse_chunk(
+                        map_db, kf_chunk, lms, m0, msz, fetched[ci],
+                        fetched[n + ci], touched,
+                    )
+                map_db.batch_refresh_landmark_stats(
+                    touched, self.orb_params.scale_factors)
         _mark()
         cur.graph_node.update_connections(map_db)
-        _mark()
         if self.enable_local_ba and map_db.num_keyframes() > 2 and not self.is_skipping_localBA():
-            self.local_bundle_adjustment(cur)
+            self._dispatch_local_ba(cur)
+            if self.synchronous_ba:
+                self.apply_pending_ba()
         _mark()
         self.remove_temporal_keyframes(cur)
         self.cleaner.remove_redundant_keyframes(map_db, cur)
         _mark()
-        # tracking-visible rows = covisibility-local map around the newest
-        # keyframe (reference local_map_updater neighborhood)
-        map_db.refresh_device_table(center_kf_id=cur.id)
+        if self._pending_ba is None:
+            # tracking-visible rows = covisibility-local map around the
+            # newest keyframe (reference local_map_updater neighborhood);
+            # when BA is in flight the publish rides with its writeback
+            map_db.refresh_device_table(center_kf_id=cur.id)
         _mark()
         _log.debug(
-            "kf %d mapped in %.0f ms: bow=%.0f cull=%.0f tri=%.0f fuse=%.0f "
-            "conn=%.0f ba=%.0f redu=%.0f tbl=%.0f", cur.id,
+            "kf %d mapped in %.0f ms: cull=%.0f disp=%.0f fetch=%.0f "
+            "apply=%.0f ba=%.0f redu=%.0f tbl=%.0f", cur.id,
             (_t[-1] - _t[0]) * 1e3,
-            *[(_t[i + 1] - _t[i]) * 1e3 for i in range(8)])
+            *[(_t[i + 1] - _t[i]) * 1e3 for i in range(7)])
 
     # ------------------------------------------------------------------
     def remove_temporal_keyframes(self, cur: Keyframe,
@@ -238,11 +300,11 @@ class MappingModule:
                 map_db.erase_keyframe(k)
 
     # ------------------------------------------------------------------
-    def create_new_landmarks(self, cur: Keyframe, extra_fetch=None):
-        """Triangulate vs top-N covisibilities. `extra_fetch` is an optional
-        device array materialized in the SAME round trip as the
-        triangulation results and returned (None when triangulation was
-        skipped and nothing was fetched)."""
+    def _dispatch_triangulation(self, cur: Keyframe):
+        """Dispatch triangulation vs top-N covisibilities
+        (mapping_module.cc:275-341); returns (device result, neighbors) or
+        None. The caller fetches grouped with the other keyframe-event
+        round trips and applies via _apply_triangulation."""
         map_db = self.map_db
         covis = cur.graph_node.get_top_n_covisibilities(self.num_covis_tri)
         if not covis:
@@ -286,12 +348,11 @@ class MappingModule:
         res = self.kernels.triangulate_gather(
             cur_args, tuple(kf_tuple(o) for o in padded), pair_valid,
         )
-        if extra_fetch is not None:
-            ok_all, pos_all, idx2_all, extra_host = fetch_all(
-                res.ok, res.pos_w, res.idx2, extra_fetch)
-        else:
-            ok_all, pos_all, idx2_all = fetch_all(res.ok, res.pos_w, res.idx2)
-            extra_host = None
+        return res, neighbors
+
+    def _apply_triangulation(self, cur: Keyframe, neighbors,
+                             ok_all, pos_all, idx2_all):
+        map_db = self.map_db
         new_lms = []
         with map_db.lock:
             for b, other in enumerate(neighbors):
@@ -315,16 +376,14 @@ class MappingModule:
                 new_lms, self.orb_params.scale_factors)
 
     # ------------------------------------------------------------------
-    def fuse_landmark_duplication(self, cur: Keyframe):
-        """Fuse current keyframe's landmarks into first/second-order
-        covisibilities and vice versa (mapping_module.cc:417-537).
-
-        Both directions are DISPATCHED up front and materialized with ONE
-        grouped fetch (each blocking fetch costs a ~10-40 ms tunnel round
-        trip). Direction 2's candidate set is collected before direction 1
-        is applied — any landmark direction 1 replaces is skipped at apply
-        time by its will_be_erased check, so the result matches the
-        reference's sequential order."""
+    def _collect_fuse_chunks(self, cur: Keyframe):
+        """Dispatch BOTH fuse directions — current keyframe's landmarks into
+        first/second-order covisibilities and vice versa
+        (mapping_module.cc:417-537) — and return the chunk records for a
+        caller-grouped fetch. Direction 2's candidate set is collected
+        before direction 1 is applied — any landmark direction 1 replaces
+        is skipped at apply time by its will_be_erased check, so the result
+        matches the reference's sequential order."""
         map_db = self.map_db
         targets = cur.graph_node.get_top_n_covisibilities(10)
         seconds = []
@@ -357,28 +416,16 @@ class MappingModule:
 
         chunks1 = self._dispatch_fuse(tgt_kfs, cur_lms) if cur_lms else []
         chunks2 = self._dispatch_fuse([cur], tgt_lm_ids) if tgt_lm_ids else []
-        chunks = chunks1 + chunks2
-        if not chunks:
-            return
-        fetched = fetch_all(*[c[4] for c in chunks], *[c[5] for c in chunks])
-        n = len(chunks)
-        with map_db.lock:
-            touched = []
-            for ci, (lm_list, kf_chunk, m0, msz, _, _) in enumerate(chunks):
-                self._apply_fuse_chunk(
-                    map_db, kf_chunk, lm_list, m0, msz, fetched[ci],
-                    fetched[n + ci], touched,
-                )
-            map_db.batch_refresh_landmark_stats(
-                touched, self.orb_params.scale_factors)
+        return chunks1 + chunks2
 
     # fixed fuse program shape: every dispatch is exactly (KF_CHUNK keyframes
     # x LM_CHUNK landmarks). Shape buckets looked cheaper per dispatch but
     # every new (Bpad, Mpad) combination triggered a multi-second cold
-    # program load mid-run; chunks of one fixed shape compile exactly once
-    # and the extra padded compute is microseconds of device time.
-    FUSE_KF_CHUNK = 8
-    FUSE_LM_CHUNK = 1024
+    # program load mid-run; chunks of one fixed shape compile exactly once.
+    # 16x2048 measured 4.4 ms/dispatch on-chip vs 3.1 ms at 8x1024 — a
+    # typical keyframe event needs 4 dispatches instead of 12.
+    FUSE_KF_CHUNK = 16
+    FUSE_LM_CHUNK = 2048
 
     def _dispatch_fuse(self, keyframes, lm_list, margin: float = 3.0):
         """Dispatch the fuse programs for (keyframes x lm_list); returns a
@@ -475,13 +522,36 @@ class MappingModule:
                     touched.append(lm)
 
     # ------------------------------------------------------------------
-    def local_bundle_adjustment(self, cur: Keyframe):
-        map_db = self.map_db
+    def _dispatch_local_ba(self, cur: Keyframe):
+        """Assemble + dispatch local BA; the result is stashed in
+        _pending_ba and written back by apply_pending_ba. The reference
+        blocks its mapping thread on local BA but aborts it when a new
+        keyframe arrives (mapping_module.cc:199-208, force_stop_flag) — here
+        the BA device program always runs to completion (it is short:
+        gain-terminated LM) and only the WRITEBACK is deferred."""
         prob, lm_ids, kf_slots, marker_rows, host = self._assemble_local_ba(cur)
         if prob is None:
             return
         cam = make_cam_scalars(self.camera)
         res = ba_mod.bundle_adjust(prob, cam, model=self.camera.model.name.lower())
+        self._pending_ba = {
+            "res": res, "lm_ids": lm_ids, "kf_slots": kf_slots,
+            "marker_rows": marker_rows, "host": host, "center": cur.id,
+            "epoch": self.map_db.epoch,
+        }
+
+    def apply_pending_ba(self):
+        """Fetch + write back the in-flight local BA, then publish the
+        device landmark table. No-op when nothing is pending or the map was
+        cleared/loop-corrected since dispatch (epoch mismatch)."""
+        p, self._pending_ba = self._pending_ba, None
+        if p is None:
+            return
+        map_db = self.map_db
+        if p["epoch"] != map_db.epoch:
+            return
+        lm_ids, kf_slots, host = p["lm_ids"], p["kf_slots"], p["host"]
+        marker_rows, res = p["marker_rows"], p["res"]
         # grouped fetch: one overlapped round trip instead of four; the
         # problem inputs stay host-side in `host` (never fetch back uploads)
         camR, camt, lm_new, outlier = fetch_all(
@@ -532,6 +602,9 @@ class MappingModule:
             for mk, ci, row in marker_rows:
                 if not mk.keep_fixed:
                     mk.corners_world[ci] = lm_new[row].astype(np.float64)
+        # the deferred publish: tracking sees the keyframe event's whole
+        # effect (new landmarks + fusion + BA) as ONE table version bump
+        map_db.refresh_device_table(center_kf_id=p["center"])
 
     def _assemble_local_ba(self, cur: Keyframe):
         """Build the padded BAProblem (host numpy, one upload)."""

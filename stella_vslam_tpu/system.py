@@ -58,6 +58,7 @@ class System:
         # the way down (the reference's DETERMINISTIC switch)
         self.tracker.synchronous = inline_mapping
         self.mapper = MappingModule(self.map_db, self.camera, self.orb_params)
+        self.mapper.synchronous_ba = inline_mapping
         self.tracker.mapper = self.mapper
         self.tracker.keyfrm_inserter.mapper = self.mapper
         self.mapper.tracker = self.tracker
