@@ -120,29 +120,45 @@ class BowVocabulary:
     # ------------------------------------------------------------------
     def train(self, descriptors: np.ndarray, num_iters: int = 8, seed: int = 1):
         """Lloyd refinement of the random tree with sample descriptors
-        (binary k-medians via majority vote), top level first."""
+        (binary k-medians via majority vote), top level first.
+
+        Fully vectorized: the restricted assignment gathers each sample's
+        parent's K child centers ([S,K,256] einsum), the update is one
+        scatter-add majority vote — no per-node Python loop. Empty children
+        are re-seeded from the descriptors of their own parent cluster so
+        the tree keeps full branching where the data lives."""
         pm1 = _unpack_pm1_np(descriptors)
+        S = len(pm1)
         rng = np.random.default_rng(seed)
-        assign_parent = np.zeros(len(pm1), dtype=np.int64)
+        assign_parent = np.zeros(S, dtype=np.int64)
         for lvl in range(DEPTH):
             n_parents = K_BRANCH**lvl
+            n_nodes = n_parents * K_BRANCH
             centers = self.centers[lvl].copy()
+
+            def assign_children(c):
+                child_c = c.reshape(n_parents, K_BRANCH, 256)[assign_parent]
+                sims = np.einsum("sd,skd->sk", pm1, child_c)
+                return assign_parent * K_BRANCH + sims.argmax(-1)
+
             for _ in range(num_iters):
-                # assignment restricted to each parent's children
-                sims = pm1 @ centers.T  # [S, K^(l+1)]
-                sims = sims.reshape(len(pm1), n_parents, K_BRANCH)
-                child = sims[np.arange(len(pm1)), assign_parent].argmax(-1)
-                assign = assign_parent * K_BRANCH + child
-                # majority-vote update
-                for node in range(centers.shape[0]):
-                    sel = assign == node
-                    if sel.sum() >= 2:
-                        centers[node] = np.sign(pm1[sel].sum(0) + 1e-3)
+                assign = assign_children(centers)
+                sums = np.zeros((n_nodes, 256), np.float32)
+                np.add.at(sums, assign, pm1)
+                counts = np.bincount(assign, minlength=n_nodes)
+                upd = counts >= 2
+                centers[upd] = np.sign(sums[upd] + 1e-3)
+                # re-seed empty children from a random sample of the parent
+                empty = np.nonzero(~upd)[0]
+                if len(empty):
+                    parent_counts = counts.reshape(n_parents, K_BRANCH).sum(1)
+                    for node in empty:
+                        par = node // K_BRANCH
+                        if parent_counts[par] > K_BRANCH:
+                            cand = np.nonzero(assign_parent == par)[0]
+                            centers[node] = pm1[rng.choice(cand)]
             self.centers[lvl] = centers
-            sims = pm1 @ centers.T
-            sims = sims.reshape(len(pm1), n_parents, K_BRANCH)
-            child = sims[np.arange(len(pm1)), assign_parent].argmax(-1)
-            assign_parent = assign_parent * K_BRANCH + child
+            assign_parent = assign_children(centers)
         self._centers_dev = None  # refresh device copies
         self._content_hash = None
 
@@ -159,13 +175,38 @@ class BowVocabulary:
         return s
 
     def save(self, path: str):
-        np.savez_compressed(path, **{f"level_{i}": c for i, c in enumerate(self.centers)})
+        """Bit-packed vocabulary file (binary centers -> uint8 bits):
+        ~355 KB for the 11,110-node default tree."""
+        packed = {
+            f"level_{i}": np.packbits((c > 0).astype(np.uint8), axis=1)
+            for i, c in enumerate(self.centers)
+        }
+        np.savez_compressed(path, **packed)
 
     @staticmethod
     def load(path: str) -> "BowVocabulary":
         v = BowVocabulary()
         data = np.load(path)
-        v.centers = [data[f"level_{i}"] for i in range(DEPTH)]
+        centers = []
+        for i in range(DEPTH):
+            c = data[f"level_{i}"]
+            if c.dtype == np.uint8:  # bit-packed format
+                c = np.unpackbits(c, axis=1)[:, :256].astype(np.float32) * 2 - 1
+            centers.append(np.ascontiguousarray(c, dtype=np.float32))
+        v.centers = centers
         v._centers_dev = None
         v._content_hash = None
         return v
+
+    @staticmethod
+    def default() -> "BowVocabulary":
+        """The packaged pretrained vocabulary (trained on descriptors
+        harvested from the synthetic worlds — reference ships a pretrained
+        FBoW file, bow_vocabulary.cc:20-22); falls back to the seeded
+        random tree when the asset is missing."""
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "vocab_default.npz")
+        if os.path.exists(path):
+            return BowVocabulary.load(path)
+        return BowVocabulary()

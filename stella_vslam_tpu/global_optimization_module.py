@@ -48,6 +48,7 @@ class GlobalOptimizationModule:
         self.num_loops_closed = 0
         self.loop_ba_running = False
         self._abort_loop_ba = False
+        self._loop_ba_thread: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------------
     def queue_keyframe(self, kf):
@@ -64,6 +65,8 @@ class GlobalOptimizationModule:
     def join(self):
         if self._thread is not None:
             self._thread.join(timeout=30)
+        if self._loop_ba_thread is not None:
+            self._loop_ba_thread.join(timeout=60)
 
     def enable_loop_detector(self):
         self.loop_detector.enabled = True
@@ -123,6 +126,11 @@ class GlobalOptimizationModule:
     # ------------------------------------------------------------------
     def correct_loop(self, cur_kf, cand_id, sim3_cw, src_cand_slot, inl):
         map_db = self.map_db
+        # a newer loop supersedes any BA still in flight (reference
+        # global_optimization_module.cc:228-235 abort + wait)
+        if self._loop_ba_thread is not None and self._loop_ba_thread.is_alive():
+            self.abort_loop_BA()
+            self._loop_ba_thread.join(timeout=60)
         if self.mapper is not None:
             self.mapper.request_pause()
             t0 = time.time()
@@ -203,7 +211,7 @@ class GlobalOptimizationModule:
                             cur_lm = map_db.landmarks.get(int(cur_lm_id))
                             if cur_lm is not None and not cur_lm.will_be_erased:
                                 map_db.replace_landmark(cur_lm, cand_lm)
-                        elif cur_lm_id < 0:
+                        elif cur_lm_id < 0 and cur_kf.id not in cand_lm.observations:
                             cand_lm.add_observation(cur_kf.id, int(f_slot))
                             cur_kf.add_landmark(int(cand_lm_id), int(f_slot))
 
@@ -250,16 +258,26 @@ class GlobalOptimizationModule:
                 corrections, pre_poses, loop_pair=(cur_kf.id, cand_id)
             )
             self.num_loops_closed += 1
-
-            # global BA (reference runs it on a detached thread; here inline
-            # on this background thread — it IS the detached thread)
-            self.run_global_bundle_adjustment()
         finally:
             if self.mapper is not None:
                 self.mapper.resume()
             # post-correction local map re-centered on the corrected keyframe
             # (its covisibilities now include the loop side)
             self.map_db.refresh_device_table(center_kf_id=cur_kf.id)
+
+        # global BA runs DETACHED with mapping live (reference spawns a
+        # thread, global_optimization_module.cc:302 -> loop_bundle_adjuster);
+        # keyframes created meanwhile get spanning-tree-propagated poses at
+        # writeback. Inline/deterministic mode keeps it synchronous.
+        center = cur_kf.id
+        if self.mapper is not None and self.mapper.synchronous_ba:
+            self.run_global_bundle_adjustment(center_kf_id=center)
+        else:
+            self.loop_ba_running = True
+            self._loop_ba_thread = threading.Thread(
+                target=self.run_global_bundle_adjustment,
+                kwargs={"center_kf_id": center}, daemon=True)
+            self._loop_ba_thread.start()
 
     # ------------------------------------------------------------------
     def _pose_graph_optimize(self, corrections, pre_poses=None, loop_pair=None):
@@ -377,51 +395,137 @@ class GlobalOptimizationModule:
                 kf.set_pose_cw(T)
 
     # ------------------------------------------------------------------
-    def run_global_bundle_adjustment(self, num_iter: int = 16):
+    def run_global_bundle_adjustment(self, num_iter: int = 16,
+                                     center_kf_id=None):
         """Full-map BA (reference loop_bundle_adjuster + global_bundle_adjuster).
 
         Unlike local BA, the reference's global BA is a SINGLE robust stage
         with no mid-schedule outlier reclassification
         (global_bundle_adjuster.cc) — pruning would drop exactly the
-        high-residual cross-loop observations that stitch the corrected map."""
+        high-residual cross-loop observations that stitch the corrected map.
+
+        Mapping stays LIVE while the BA device program runs; only the
+        writeback pauses the mapper. Keyframes and landmarks created during
+        the BA are brought into the optimized frame by spanning-tree
+        propagation: a non-optimized child keeps its relative pose to its
+        spanning parent, and a non-optimized landmark rides its reference
+        keyframe's before/after poses (loop_bundle_adjuster.cc:84-116,
+        139-175)."""
         map_db = self.map_db
         self.loop_ba_running = True
         self._abort_loop_ba = False
+        paused_here = False
         try:
             prob, lm_ids, kf_slots, marker_rows = self._assemble_global_ba()
             if prob is None:
                 return
-            res = ba_mod.bundle_adjust(
+            # multi-chip: landmark rows sharded over the mesh, XLA inserts
+            # the Schur-assembly all-reduces (parallel/sharded_ba.py);
+            # single-chip: the same program unsharded
+            from stella_vslam_tpu.parallel.sharded_ba import \
+                sharded_bundle_adjust
+
+            res = sharded_bundle_adjust(
                 prob, make_cam_scalars(self.camera),
                 model=self.camera.model.name.lower(),
                 num_first=num_iter, num_second=0,
             )
+            camR, camt, lm_new = fetch_all(res.cam_R, res.cam_t, res.lm_pos)
             if self._abort_loop_ba:
                 # a newer loop superseded this BA: discard the results
                 # (reference loop_bundle_adjuster.cc abort path)
                 return
-            camR, camt, lm_new = fetch_all(res.cam_R, res.cam_t, res.lm_pos)
+            # pause the mapper only for the writeback; the pause ack settles
+            # any in-flight local-BA writeback first
+            if self.mapper is not None and not self.mapper.is_paused() \
+                    and not self.mapper.synchronous_ba:
+                self.mapper.request_pause()
+                t0 = time.time()
+                while not self.mapper.is_paused() and time.time() - t0 < 5.0 \
+                        and self.mapper._thread is not None \
+                        and self.mapper._thread.is_alive():
+                    time.sleep(0.002)
+                paused_here = True
             with map_db.lock:
+                if self._abort_loop_ba:
+                    return
+                # any pending local BA surviving the pause settle is stale now
+                map_db.bump_epoch()
+                cam_fixed_h = np.asarray(prob.cam_fixed)
+                before = {
+                    k: (kf.rot_cw.copy(), kf.trans_cw.copy())
+                    for k, kf in map_db.keyframes.items()
+                    if not kf.will_be_erased
+                }
+                after = {}
                 for slot, kf_id in enumerate(kf_slots):
-                    if kf_id < 0:
+                    if kf_id < 0 or kf_id not in before:
                         continue
-                    kf = map_db.keyframes.get(kf_id)
-                    if kf is None or bool(np.asarray(prob.cam_fixed)[slot]):
+                    if bool(cam_fixed_h[slot]):
+                        after[kf_id] = before[kf_id]
+                    else:
+                        after[kf_id] = (
+                            camR[slot].astype(np.float64),
+                            camt[slot].astype(np.float64),
+                        )
+                # spanning-tree propagation, parents before children
+                roots = [
+                    k for k in before
+                    if map_db.keyframes[k].graph_node.spanning_parent is None
+                ]
+                stack = list(roots)
+                visited = set()
+                while stack:
+                    k = stack.pop()
+                    if k in visited:
+                        continue
+                    visited.add(k)
+                    kf = map_db.keyframes.get(k)
+                    if kf is None:
+                        continue
+                    if k not in after and k in before:
+                        parent = kf.graph_node.spanning_parent
+                        if parent in after and parent in before:
+                            Rp_b, tp_b = before[parent]
+                            Rc_b, tc_b = before[k]
+                            R_rel = Rc_b @ Rp_b.T  # child <- parent (before)
+                            t_rel = tc_b - R_rel @ tp_b
+                            Rp_a, tp_a = after[parent]
+                            after[k] = (R_rel @ Rp_a, R_rel @ tp_a + t_rel)
+                    stack.extend(kf.graph_node.spanning_children)
+                for k, (Ra, ta) in after.items():
+                    kf = map_db.keyframes.get(k)
+                    if kf is None or kf.will_be_erased:
                         continue
                     T = np.eye(4)
-                    T[:3, :3] = camR[slot]
-                    T[:3, 3] = camt[slot]
+                    T[:3, :3] = Ra
+                    T[:3, 3] = ta
                     kf.set_pose_cw(T)
-                for l, lm_id in enumerate(lm_ids):
-                    if lm_id < 0:
+                # landmarks: optimized rows directly, the rest remapped via
+                # their reference keyframe before/after poses
+                row_of = {
+                    lm_id: l for l, lm_id in enumerate(lm_ids) if lm_id >= 0
+                }
+                for lm_id, lm in map_db.landmarks.items():
+                    if lm.will_be_erased:
                         continue
-                    lm = map_db.landmarks.get(lm_id)
-                    if lm is not None and not lm.will_be_erased:
-                        lm.pos_w = lm_new[l].astype(np.float64)
+                    row = row_of.get(lm_id)
+                    if row is not None:
+                        lm.pos_w = lm_new[row].astype(np.float64)
+                        continue
+                    rk = lm.ref_keyfrm_id
+                    if rk in before and rk in after:
+                        Rb, tb = before[rk]
+                        Ra, ta = after[rk]
+                        Xc = Rb @ lm.pos_w + tb
+                        lm.pos_w = Ra.T @ (Xc - ta)
                 for mk, ci, row in marker_rows:
                     if not mk.keep_fixed:
                         mk.corners_world[ci] = lm_new[row].astype(np.float64)
+            map_db.refresh_device_table(center_kf_id=center_kf_id)
         finally:
+            if paused_here and self.mapper is not None:
+                self.mapper.resume()
             self.loop_ba_running = False
 
     def _assemble_global_ba(self, D: int = 8):

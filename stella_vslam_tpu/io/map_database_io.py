@@ -13,7 +13,6 @@ as lists; keyframe device tensors are rebuilt at load
 """
 from __future__ import annotations
 
-import json
 import sqlite3 as _sql
 from typing import Optional
 
@@ -27,8 +26,13 @@ def _map_to_dict(system) -> dict:
     map_db = system.map_db
     with map_db.lock:
         d = map_db.to_json(
-            cameras={system.camera.name: system.camera.to_json()},
-            orb_params={system.orb_params.name: system.orb_params.to_json()},
+            # full registries: maps are self-describing and may carry several
+            # named cameras / feature settings (reference camera_database.h,
+            # orb_params_database.h)
+            cameras={n: c.to_json() for n, c in system.cameras.items()},
+            orb_params={
+                n: p.to_json() for n, p in system.orb_params_registry.items()
+            },
         )
         # landmark observations (graph) per landmark
         for lm_id, lm in map_db.landmarks.items():
@@ -40,17 +44,39 @@ def _map_to_dict(system) -> dict:
 
 
 def _dict_to_map(system, d: dict):
+    from stella_vslam_tpu.camera.base import Camera
+    from stella_vslam_tpu.feature.orb_params import OrbParams
+
     map_db = system.map_db
+    # register the file's cameras / orb_params (reference register_keyframe
+    # resolves both by NAME from the databases, map_database.cc:357-365);
+    # unknown names fall back to the system's active objects
+    for name, cj in d.get("cameras", {}).items():
+        if name not in system.cameras:
+            try:
+                system.cameras[name] = Camera.from_json(dict(cj, name=name))
+            except Exception:
+                pass
+    for name, pj in d.get("orb_params", {}).items():
+        if name not in system.orb_params_registry:
+            system.orb_params_registry[name] = OrbParams.from_json(
+                dict(pj, name=name))
     with map_db.lock:
         map_db.clear()
-        camera = system.camera
-        orb_params = system.orb_params
+        slot_assoc: dict = {}  # lm_id -> [(kf_id, keypoint idx)]
         for kf_id_s, payload in sorted(
             d["keyframes"].items(), key=lambda kv: int(kv[0])
         ):
+            camera = system.cameras.get(payload.get("cam"), system.camera)
+            orb_params = system.orb_params_registry.get(
+                payload.get("orb_params"), system.orb_params)
             kf = Keyframe.from_payload(
                 map_db, int(kf_id_s), payload, camera, orb_params
             )
+            for idx, lm_id in enumerate(payload.get("lm_ids", ())):
+                if lm_id >= 0:
+                    slot_assoc.setdefault(int(lm_id), []).append(
+                        (int(kf_id_s), idx))
             kf.lm_ids[:] = -1  # associations rebuilt from landmark observations
             map_db.add_keyframe(kf)
             if payload.get("span_parent", -1) >= 0:
@@ -61,11 +87,18 @@ def _dict_to_map(system, d: dict):
                 kf.graph_node.loop_edges.add(le)
         for lm_id_s, payload in d["landmarks"].items():
             lm = Landmark.from_json(int(lm_id_s), payload)
-            for kf_id_s, idx in payload.get("observations", {}).items():
-                kf = map_db.keyframes.get(int(kf_id_s))
+            obs = payload.get("observations")
+            if obs is None:
+                # sqlite3 layout: observations live in the keyframe slot
+                # associations (reference load_association_from_stmt)
+                obs_items = slot_assoc.get(lm.id, [])
+            else:
+                obs_items = [(int(k), int(v)) for k, v in obs.items()]
+            for kf_id, idx in obs_items:
+                kf = map_db.keyframes.get(int(kf_id))
                 if kf is None:
                     continue
-                lm.add_observation(int(kf_id_s), int(idx))
+                lm.add_observation(int(kf_id), int(idx))
                 kf.lm_ids[int(idx)] = lm.id
             map_db.add_landmark(lm)
         map_db.origin_keyfrm_id = d.get("origin_keyfrm_id")
@@ -102,56 +135,226 @@ class MapDatabaseIOMsgpack:
         _dict_to_map(system, d)
 
 
+# cv::KeyPoint memory layout — the reference memcpy's the raw vector into the
+# undist_keypts blob (keyframe.cc:326-330): 5 float32 + 2 int32 = 28 bytes
+_KEYPT_DTYPE = np.dtype([
+    ("x", "<f4"), ("y", "<f4"), ("size", "<f4"), ("angle", "<f4"),
+    ("response", "<f4"), ("octave", "<i4"), ("class_id", "<i4"),
+])
+
+_SETUP_STR = {"MONOCULAR": "Monocular", "STEREO": "Stereo", "RGBD": "RGBD"}
+_MODEL_STR = {
+    "PERSPECTIVE": "Perspective", "FISHEYE": "Fisheye",
+    "EQUIRECTANGULAR": "Equirectangular", "RADIAL_DIVISION": "RadialDivision",
+}
+
+
 class MapDatabaseIOSqlite3:
-    """Row-wise sqlite3 schema (reference map_database_io_sqlite3.cc):
-    tables keyframes/landmarks/associations/metadata, array fields as JSON."""
+    """Reference-schema sqlite3 maps: byte-compatible tables
+    stats / cameras / keyframes / landmarks / associations with the exact
+    column layouts and blob encodings of the reference
+    (keyframe.h:88-102 + keyframe.cc:302-362, landmark.h:50-58,
+    map_database.h:323-329, camera_database.cc:232-253,
+    io/map_database_io_sqlite3.cc) — maps interoperate in both directions.
+
+    Blob encodings: pose_cw = 16 float64 column-major (Eigen);
+    undist_keypts = packed cv::KeyPoint structs (28 B, angle in degrees);
+    x_rights / depths = float32 arrays (empty for monocular);
+    descs = N x 32 uint8; lm_ids / spanning_children / loop_edges = int32."""
 
     def save(self, path: str, system):
-        d = _map_to_dict(system)
+        map_db = system.map_db
         conn = _sql.connect(path)
         c = conn.cursor()
-        c.execute("DROP TABLE IF EXISTS metadata")
-        c.execute("DROP TABLE IF EXISTS keyframes")
-        c.execute("DROP TABLE IF EXISTS landmarks")
-        c.execute("CREATE TABLE metadata (key TEXT PRIMARY KEY, value TEXT)")
-        c.execute("CREATE TABLE keyframes (id INTEGER PRIMARY KEY, payload TEXT)")
-        c.execute("CREATE TABLE landmarks (id INTEGER PRIMARY KEY, payload TEXT)")
-        meta = {
-            "cameras": d["cameras"], "orb_params": d["orb_params"],
-            "origin_keyfrm_id": d["origin_keyfrm_id"],
-            "keyframe_next_id": d["keyframe_next_id"],
-            "landmark_next_id": d["landmark_next_id"],
-        }
-        c.execute("INSERT INTO metadata VALUES (?, ?)", ("map", json.dumps(meta)))
-        for k, payload in d["keyframes"].items():
-            c.execute(
-                "INSERT INTO keyframes VALUES (?, ?)", (int(k), json.dumps(payload))
-            )
-        for k, payload in d["landmarks"].items():
-            c.execute(
-                "INSERT INTO landmarks VALUES (?, ?)", (int(k), json.dumps(payload))
-            )
-        conn.commit()
-        conn.close()
+        try:
+            with map_db.lock:
+                for tbl in ("stats", "cameras", "keyframes", "landmarks",
+                            "associations"):
+                    c.execute(f"DROP TABLE IF EXISTS {tbl}")
+                c.execute(
+                    "CREATE TABLE stats(id INTEGER PRIMARY KEY, "
+                    "frame_next_id INTEGER, keyframe_next_id INTEGER, "
+                    "landmark_next_id INTEGER)")
+                c.execute(
+                    "INSERT INTO stats(id, keyframe_next_id, landmark_next_id)"
+                    " VALUES(?, ?, ?)",
+                    (0, map_db._next_keyfrm_id, map_db._next_landmark_id))
+
+                c.execute(
+                    "CREATE TABLE cameras(id INTEGER PRIMARY KEY, name BLOB, "
+                    "setup_type BLOB, model_type BLOB, color_type BLOB, "
+                    "cols INTEGER, rows INTEGER, fps REAL, fx REAL, fy REAL, "
+                    "cx REAL, cy REAL, k1 REAL, k2 REAL, p1 REAL, p2 REAL, "
+                    "k3 REAL, k4 REAL, focal_x_baseline REAL, distortion REAL)")
+                for i, (name, cam) in enumerate(system.cameras.items()):
+                    p = cam.params
+                    c.execute(
+                        "INSERT INTO cameras VALUES"
+                        "(?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?)",
+                        (i, name.encode(),
+                         _SETUP_STR[cam.setup.name].encode(),
+                         _MODEL_STR[cam.model.name].encode(),
+                         cam.color_order.encode(),
+                         cam.width, cam.height, cam.fps,
+                         float(p.fx), float(p.fy), float(p.cx), float(p.cy),
+                         float(p.k1), float(p.k2), float(p.p1), float(p.p2),
+                         float(p.k3), float(p.k4), float(p.focal_x_baseline),
+                         float(p.k1) if cam.model.name == "RADIAL_DIVISION"
+                         else 0.0))
+
+                c.execute(
+                    "CREATE TABLE keyframes(id INTEGER PRIMARY KEY, "
+                    "src_frm_id INTEGER, ts REAL, cam BLOB, orb_params BLOB, "
+                    "pose_cw BLOB, n_keypts INTEGER, undist_keypts BLOB, "
+                    "x_rights BLOB, depths BLOB, descs BLOB, "
+                    "n_markers INTEGER, markers BLOB)")
+                c.execute(
+                    "CREATE TABLE landmarks(id INTEGER PRIMARY KEY, "
+                    "first_keyfrm INTEGER, pos_w BLOB, ref_keyfrm INTEGER, "
+                    "n_vis INTEGER, n_fnd INTEGER)")
+                c.execute(
+                    "CREATE TABLE associations(id INTEGER PRIMARY KEY, "
+                    "lm_ids BLOB, span_parent INTEGER, "
+                    "n_spanning_children INTEGER, spanning_children BLOB, "
+                    "n_loop_edges INTEGER, loop_edges BLOB)")
+
+                mono = system.camera.setup.name == "MONOCULAR"
+                for kf_id in sorted(map_db.keyframes):
+                    kf = map_db.keyframes[kf_id]
+                    n = kf.num_slots
+                    kpts = np.zeros(n, _KEYPT_DTYPE)
+                    kpts["x"] = kf.h_undist_xy[:, 0]
+                    kpts["y"] = kf.h_undist_xy[:, 1]
+                    kpts["size"] = 31.0 * np.asarray(
+                        kf.orb_params.scale_factors)[kf.h_level]
+                    kpts["angle"] = np.degrees(kf.h_angle) % 360.0
+                    kpts["octave"] = kf.h_level
+                    kpts["class_id"] = -1
+                    xr = (b"" if mono
+                          else kf.h_x_right.astype("<f4").tobytes())
+                    dp = (b"" if mono
+                          else kf.h_depths.astype("<f4").tobytes())
+                    descs = kf.h_desc.astype("<u4").tobytes()  # = N x 32 u8
+                    c.execute(
+                        "INSERT INTO keyframes VALUES"
+                        "(?,?,?,?,?,?,?,?,?,?,?,?,?)",
+                        (int(kf_id), 0, float(kf.timestamp),
+                         kf.camera.name.encode(),
+                         kf.orb_params.name.encode(),
+                         np.asarray(kf.pose_cw, "<f8").T.tobytes(),  # col-major
+                         int(n), kpts.tobytes(), xr, dp, descs, 0, b""))
+                    gn = kf.graph_node
+                    span_children = np.asarray(
+                        sorted(gn.spanning_children), "<i4")
+                    loop_edges = np.asarray(sorted(gn.loop_edges), "<i4")
+                    c.execute(
+                        "INSERT INTO associations VALUES(?,?,?,?,?,?,?)",
+                        (int(kf_id),
+                         kf.lm_ids.astype("<i4").tobytes(),
+                         -1 if gn.spanning_parent is None
+                         else int(gn.spanning_parent),
+                         len(span_children), span_children.tobytes(),
+                         len(loop_edges), loop_edges.tobytes()))
+
+                for lm_id in sorted(map_db.landmarks):
+                    lm = map_db.landmarks[lm_id]
+                    c.execute(
+                        "INSERT INTO landmarks VALUES(?,?,?,?,?,?)",
+                        (int(lm_id), int(lm.first_keyfrm_id),
+                         np.asarray(lm.pos_w, "<f8").tobytes(),
+                         int(lm.ref_keyfrm_id), int(lm.num_observable),
+                         int(lm.num_observed)))
+            conn.commit()
+        finally:
+            conn.close()
 
     def load(self, path: str, system):
         conn = _sql.connect(path)
         c = conn.cursor()
-        meta = json.loads(
-            c.execute("SELECT value FROM metadata WHERE key='map'").fetchone()[0]
-        )
-        d = {
-            "cameras": meta["cameras"], "orb_params": meta["orb_params"],
-            "origin_keyfrm_id": meta["origin_keyfrm_id"],
-            "keyframe_next_id": meta["keyframe_next_id"],
-            "landmark_next_id": meta["landmark_next_id"],
-            "keyframes": {}, "landmarks": {},
-        }
-        for kid, payload in c.execute("SELECT id, payload FROM keyframes"):
-            d["keyframes"][str(kid)] = json.loads(payload)
-        for lid, payload in c.execute("SELECT id, payload FROM landmarks"):
-            d["landmarks"][str(lid)] = json.loads(payload)
-        conn.close()
+        try:
+            d = {"cameras": {}, "orb_params": {},
+                 "keyframes": {}, "landmarks": {}}
+            row = c.execute("SELECT * FROM stats").fetchone()
+            d["keyframe_next_id"] = int(row[2] or 0)
+            d["landmark_next_id"] = int(row[3] or 0)
+
+            def _s(b):  # name blobs may come back as bytes or str
+                return b.decode() if isinstance(b, (bytes, bytearray)) else b
+
+            for row in c.execute("SELECT * FROM cameras"):
+                (_, name, setup, model, color, cols, rows, fps, fx, fy, cx,
+                 cy, k1, k2, p1, p2, k3, k4, fxb, distortion) = row
+                model_s = _s(model)
+                d["cameras"][_s(name)] = {
+                    "model_type": model_s.lower(),
+                    "setup_type": _s(setup).lower(),
+                    "color_order": _s(color), "cols": cols, "rows": rows,
+                    "fps": fps, "fx": fx, "fy": fy, "cx": cx, "cy": cy,
+                    "k1": distortion if model_s == "RadialDivision" else k1,
+                    "k2": k2, "p1": p1, "p2": p2, "k3": k3, "k4": k4,
+                    "focal_x_baseline": fxb,
+                }
+
+            assoc = {}
+            for row in c.execute("SELECT * FROM associations"):
+                kf_id, lm_blob, span_parent, _, child_blob, _, loop_blob = row
+                assoc[int(kf_id)] = (
+                    np.frombuffer(lm_blob, "<i4") if lm_blob else
+                    np.zeros(0, "<i4"),
+                    int(span_parent),
+                    np.frombuffer(child_blob, "<i4") if child_blob else [],
+                    np.frombuffer(loop_blob, "<i4") if loop_blob else [],
+                )
+
+            for row in c.execute("SELECT * FROM keyframes"):
+                (kf_id, _src, ts, cam, orbp, pose_blob, n, kpt_blob, xr_blob,
+                 dp_blob, desc_blob, _nm, _mk) = row
+                n = int(n)
+                kpts = np.frombuffer(kpt_blob, _KEYPT_DTYPE, count=n)
+                pose = np.frombuffer(pose_blob, "<f8", count=16)
+                pose = pose.reshape(4, 4).T  # Eigen column-major
+                uv = np.stack([kpts["x"], kpts["y"]], axis=1)
+                lm_ids, span_parent, children, loops = assoc.get(
+                    int(kf_id), (np.full(n, -1, "<i4"), -1, [], []))
+                d["keyframes"][str(int(kf_id))] = {
+                    "ts": float(ts), "cam": _s(cam), "orb_params": _s(orbp),
+                    "pose_cw": pose.reshape(-1).tolist(),
+                    "n_keypts": n,
+                    "keypts": uv.tolist(),
+                    "undist_keypts": uv.tolist(),
+                    "angles": np.radians(kpts["angle"]).tolist(),
+                    "levels": kpts["octave"].tolist(),
+                    "valid": [1] * n,
+                    "x_rights": (
+                        np.frombuffer(xr_blob, "<f4", count=n).tolist()
+                        if xr_blob else [-1.0] * n),
+                    "depths": (
+                        np.frombuffer(dp_blob, "<f4", count=n).tolist()
+                        if dp_blob else [0.0] * n),
+                    "descs": np.frombuffer(
+                        desc_blob, "<u4", count=n * 8).reshape(n, 8).tolist(),
+                    "lm_ids": np.asarray(lm_ids).tolist(),
+                    "span_parent": span_parent,
+                    "span_children": np.asarray(children).tolist(),
+                    "loop_edges": np.asarray(loops).tolist(),
+                }
+
+            for row in c.execute("SELECT * FROM landmarks"):
+                lm_id, first_kf, pos_blob, ref_kf, n_vis, n_fnd = row
+                pos = np.frombuffer(pos_blob, "<f8", count=3)
+                d["landmarks"][str(int(lm_id))] = {
+                    "1st_keyfrm": int(first_kf),
+                    "pos_x": pos[0], "pos_y": pos[1], "pos_z": pos[2],
+                    "ref_keyfrm": int(ref_kf),
+                    "n_vis": int(n_vis), "n_fnd": int(n_fnd),
+                }
+            if d["keyframes"]:
+                d["origin_keyfrm_id"] = min(
+                    int(k) for k in d["keyframes"])
+            else:
+                d["origin_keyfrm_id"] = None
+        finally:
+            conn.close()
         _dict_to_map(system, d)
 
 

@@ -69,6 +69,9 @@ class MappingModule:
         # True = fetch + apply BA inside the keyframe event (deterministic
         # inline mode); System sets it from inline_mapping.
         self.synchronous_ba = False
+        # (keyframe, fresh landmark ids) from the most recent event — fused
+        # one keyframe late on the hot path, or at settle (see settle_fresh_fuse)
+        self._fresh_fuse = None
         self._terminate = threading.Event()
         self._pause_requested = threading.Event()
         self._paused = threading.Event()
@@ -176,6 +179,7 @@ class MappingModule:
                 # loop-closing thread corrects the map right after is_paused
                 # flips, and a post-correction BA writeback would undo it
                 self.apply_pending_ba()
+                self.settle_fresh_fuse()
                 self._paused.set()
                 time.sleep(0.005)
                 continue
@@ -194,7 +198,9 @@ class MappingModule:
             finally:
                 self._idle.set()
                 self.num_processed += 1
-        self.apply_pending_ba()  # settle before the thread exits
+        # settle before the thread exits
+        self.apply_pending_ba()
+        self.settle_fresh_fuse()
 
     # ------------------------------------------------------------------
     def mapping_with_new_keyframe(self, cur: Keyframe):
@@ -216,6 +222,9 @@ class MappingModule:
         drain bubble (~50-65 ms measured)."""
         map_db = self.map_db
         self.apply_pending_ba()  # settle the previous keyframe's BA first
+        # the previous event's fresh landmarks are covered by THIS event's
+        # direction-2 fuse (prev keyframe is a top covisibility target)
+        self._fresh_fuse = None
         _t = [time.monotonic()]
         _mark = lambda: _t.append(time.monotonic())
         # store: BoW for place recognition (mapping_module.cc
@@ -259,15 +268,18 @@ class MappingModule:
                     touched, self.orb_params.scale_factors)
         _mark()
         cur.graph_node.update_connections(map_db)
+        published = False
         if self.enable_local_ba and map_db.num_keyframes() > 2 and not self.is_skipping_localBA():
             self._dispatch_local_ba(cur)
             if self.synchronous_ba:
-                self.apply_pending_ba()
+                # the inline writeback already publishes the table — don't
+                # publish a second time at the end of this event
+                published = self.apply_pending_ba()
         _mark()
         self.remove_temporal_keyframes(cur)
         self.cleaner.remove_redundant_keyframes(map_db, cur)
         _mark()
-        if self._pending_ba is None:
+        if self._pending_ba is None and not published:
             # tracking-visible rows = covisibility-local map around the
             # newest keyframe (reference local_map_updater neighborhood);
             # when BA is in flight the publish rides with its writeback
@@ -374,6 +386,33 @@ class MappingModule:
                     self.cleaner.add_fresh_landmark(lm.id)
             map_db.batch_refresh_landmark_stats(
                 new_lms, self.orb_params.scale_factors)
+        if new_lms:
+            self._fresh_fuse = (cur, [lm.id for lm in new_lms])
+
+    def settle_fresh_fuse(self):
+        """Fuse the most recent event's freshly triangulated landmarks into
+        that keyframe's covisibility targets. On the hot path this fusion
+        rides one keyframe late with the next event's direction-2 fuse; at a
+        pause/terminate there is no next event, so without this the last
+        event's landmarks would never be fused and duplicates could persist
+        into loop correction or saved maps (reference fuses immediately,
+        mapping_module.cc:417-443)."""
+        pend, self._fresh_fuse = self._fresh_fuse, None
+        if pend is None:
+            return
+        cur, lm_ids = pend
+        map_db = self.map_db
+        targets = cur.graph_node.get_top_n_covisibilities(10)
+        tgt_kfs = [
+            map_db.keyframes[t] for t in targets if t in map_db.keyframes
+        ]
+        lm_list = []
+        for i in lm_ids:
+            lm = map_db.landmarks.get(i)
+            if lm is not None and not lm.will_be_erased:
+                lm_list.append((i, lm))
+        if tgt_kfs and lm_list:
+            self._fuse_into(map_db, tgt_kfs, lm_list)
 
     # ------------------------------------------------------------------
     def _collect_fuse_chunks(self, cur: Keyframe):
@@ -517,6 +556,11 @@ class MappingModule:
                         map_db.replace_landmark(other, lm, refresh=False)
                         touched.append(lm)
                 elif existing_id < 0:
+                    if kf.id in lm.observations:
+                        # already observed in this keyframe at another slot —
+                        # adding would orphan that slot (fuse.cc
+                        # detect_duplication is_observed_in_keyframe guard)
+                        continue
                     lm.add_observation(kf.id, kp)
                     kf.add_landmark(lm_id, kp)
                     touched.append(lm)
@@ -540,16 +584,17 @@ class MappingModule:
             "epoch": self.map_db.epoch,
         }
 
-    def apply_pending_ba(self):
+    def apply_pending_ba(self) -> bool:
         """Fetch + write back the in-flight local BA, then publish the
         device landmark table. No-op when nothing is pending or the map was
-        cleared/loop-corrected since dispatch (epoch mismatch)."""
+        cleared/loop-corrected since dispatch (epoch mismatch). Returns True
+        when the writeback + table publish actually happened."""
         p, self._pending_ba = self._pending_ba, None
         if p is None:
-            return
+            return False
         map_db = self.map_db
-        if p["epoch"] != map_db.epoch:
-            return
+        if p["epoch"] != map_db.epoch:  # cheap unlocked fast path
+            return False
         lm_ids, kf_slots, host = p["lm_ids"], p["kf_slots"], p["host"]
         marker_rows, res = p["marker_rows"], p["res"]
         # grouped fetch: one overlapped round trip instead of four; the
@@ -560,6 +605,11 @@ class MappingModule:
         obs_valid = host["obs_valid"]
         cam_fixed_h = host["cam_fixed"]
         with map_db.lock:
+            # re-check under the lock: a loop correction / reset can bump the
+            # epoch between the unlocked check above and taking the lock —
+            # writing back here would partially undo the correction
+            if p["epoch"] != map_db.epoch:
+                return False
             for slot, kf_id in enumerate(kf_slots):
                 if kf_id < 0:
                     continue
@@ -570,7 +620,6 @@ class MappingModule:
                 T[:3, :3] = camR[slot]
                 T[:3, 3] = camt[slot]
                 kf.set_pose_cw(T)
-            slot_of = {kf_id: s for s, kf_id in enumerate(kf_slots) if kf_id >= 0}
             moved = []
             for l, lm_id in enumerate(lm_ids):
                 if lm_id < 0:
@@ -605,6 +654,7 @@ class MappingModule:
         # the deferred publish: tracking sees the keyframe event's whole
         # effect (new landmarks + fusion + BA) as ONE table version bump
         map_db.refresh_device_table(center_kf_id=p["center"])
+        return True
 
     def _assemble_local_ba(self, cur: Keyframe):
         """Build the padded BAProblem (host numpy, one upload)."""

@@ -19,7 +19,10 @@ import numpy as np
 
 from stella_vslam_tpu.util.fetch import fetch_all
 
+from stella_vslam_tpu.match import hamming as H
+from stella_vslam_tpu.match import projection as proj_match
 from stella_vslam_tpu.match import robust as robust_match
+from stella_vslam_tpu.ops.optim import pose as pose_opt
 from stella_vslam_tpu.ops.optim import sim3 as sim3_opt
 from stella_vslam_tpu.ops.solve import pnp as pnp_solve
 
@@ -37,6 +40,12 @@ class LoopDetector:
         self.min_continuity = min_continuity
         self.fix_scale = fix_scale_in_Sim3_estimation
         self.scale_factors = jnp.asarray(orb_params.scale_factors, dtype=jnp.float32)
+        self.inv_sigma_sq = jnp.asarray(
+            orb_params.inv_level_sigma_sq, dtype=jnp.float32)
+        from stella_vslam_tpu.module.tracking_kernels import make_cam_scalars
+
+        self.cam_scalars = make_cam_scalars(camera)
+        self.model = camera.model.name.lower()
         self._key = jax.random.PRNGKey(11 if use_fixed_seed else np.random.randint(1 << 30))
         # continuity bookkeeping: list of (keyframe id set, count)
         self.cont_sets: List[Tuple[Set[int], int]] = []
@@ -58,7 +67,8 @@ class LoopDetector:
                 min_score = min(min_score, self.bow_db.vocab.score(bow_cur, v))
         reject = set(covis) | {cur_kf.id}
         cands = self.bow_db.acquire_keyframes(
-            bow_cur, min_score=min_score, reject=reject
+            bow_cur, min_score=min_score, reject=reject,
+            keyframes=map_db.keyframes,
         )
         # continuity: candidate's set = candidate + its covisibilities must
         # intersect a previously tracked set for >= min_continuity rounds
@@ -136,6 +146,57 @@ class LoopDetector:
         inl = inl_h & has
         if inl.sum() < 15:
             return None
+
+        # 2b. reference validation loop (loop_detector.cc:440-540): pose
+        # optimize + Sim3-guided projection rematch against the candidate's
+        # landmarks, three rounds with growing inlier thresholds 10/25/40
+        # and shrinking margins 10 -> 3. Recovers true loops whose initial
+        # PnP inlier set is a near-miss.
+        R_np, t_np = np.asarray(R_pnp), np.asarray(t_pnp)
+        matched = inl.copy()
+        thresholds = (10, 25, self.num_final_matches_thr)
+        margins = (None, 10.0, 3.0)
+        for rnd, (thr, margin) in enumerate(zip(thresholds, margins)):
+            if margin is not None:
+                # projection rematch vs candidate keyframe landmark slots
+                uv, _, vis = self.camera.reproject(
+                    jnp.asarray(R_np.astype(np.float32)),
+                    jnp.asarray(t_np.astype(np.float32)),
+                    jnp.asarray(cand_pos))
+                p_idx, p_acc, _ = proj_match.match_frame_and_keyframe(
+                    cur_kf.undist_xy, cur_kf.feats.level, cur_kf.feats.desc,
+                    cur_kf.feats.valid, cur_kf.feats.angle,
+                    jnp.asarray(matched),
+                    cand.feats.desc, uv, cand.feats.level, cand.feats.angle,
+                    jnp.asarray(cand_has) & vis,
+                    scale_factors=self.scale_factors,
+                    num_levels=self.orb.num_levels, margin=margin,
+                )
+                pa, pi = np.asarray(p_acc), np.asarray(p_idx)
+                for cand_slot in np.nonzero(pa)[0]:
+                    f = pi[cand_slot]
+                    if not matched[f]:
+                        pos[f] = cand_pos[cand_slot]
+                        matched[f] = True
+                        src_cand_slot[f] = cand_slot
+                if matched.sum() < thr:
+                    return None
+            opt = pose_opt.optimize_pose(
+                jnp.asarray(R_np.astype(np.float32)),
+                jnp.asarray(t_np.astype(np.float32)), jnp.asarray(pos),
+                cur_kf.undist_xy, cur_kf.x_right,
+                H.take_small_table(self.inv_sigma_sq, cur_kf.feats.level),
+                jnp.asarray(matched), self.cam_scalars, model=self.model,
+            )
+            num_h, inl_opt, R_np, t_np = fetch_all(
+                opt.num_inliers, opt.is_inlier, opt.R_cw, opt.t_cw)
+            if int(num_h) < thr:
+                return None
+            matched = matched & np.asarray(inl_opt)
+            R_np, t_np = np.asarray(R_np), np.asarray(t_np)
+        # final optimized pose is the Sim3 seed (reference optimized_pose2)
+        R_pnp, t_pnp = R_np, t_np
+        inl = matched
 
         # 3. scale estimate from pair-distance ratios between the CURRENT
         # map's landmark positions and the candidate's (loop_detector Sim3

@@ -16,15 +16,99 @@ K<=256) over ICI — independent of the number of landmarks.
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from stella_vslam_tpu.ops import lie
 from stella_vslam_tpu.ops import linalg as linalg_small
 from stella_vslam_tpu.ops.optim import ba as ba_mod
 from stella_vslam_tpu.ops.optim.residuals import CamScalars
+
+
+# ---------------------------------------------------------------------------
+# Production path: the FULL bundle_adjust schedule (robust LM + outlier
+# reclassification) sharded over the mesh via GSPMD — shard the landmark-major
+# inputs, replicate the camera state, and let XLA's SPMD partitioner insert
+# the all-reduces for every cross-shard contraction (Hcc / b_c / S_red
+# assembly inside ops/optim/ba.py). Same program, same numerics (up to
+# partial-sum order), N-chip scaling. global_optimization_module routes its
+# global / loop BA through this whenever more than one device is visible.
+# ---------------------------------------------------------------------------
+
+def default_mesh() -> Optional[Mesh]:
+    """1-D 'data' mesh over all visible devices; None when single-device."""
+    devs = jax.devices()
+    if len(devs) < 2:
+        return None
+    return Mesh(np.array(devs), axis_names=("data",))
+
+
+def sharded_bundle_adjust(
+    prob: ba_mod.BAProblem,
+    cam: CamScalars,
+    *,
+    model: str = "perspective",
+    num_first: int = 5,
+    num_second: int = 10,
+    mesh: Optional[Mesh] = None,
+) -> ba_mod.BAResult:
+    """bundle_adjust over a device mesh: landmark rows sharded on axis
+    'data', cameras replicated. Falls back to the single-device program when
+    no mesh is available. Rows are padded to a multiple of the mesh size and
+    the result is sliced back."""
+    if mesh is None:
+        mesh = default_mesh()
+    if mesh is None:
+        return ba_mod.bundle_adjust(
+            prob, cam, model=model, num_first=num_first, num_second=num_second)
+    n = mesh.devices.size
+    L = prob.lm_pos.shape[0]
+    pad = (-L) % n
+    if pad:
+        def pad_rows(x):
+            if x is None:
+                return None
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        prob = prob._replace(
+            lm_pos=pad_rows(prob.lm_pos), lm_valid=pad_rows(prob.lm_valid),
+            obs_cam=pad_rows(prob.obs_cam), obs_uv=pad_rows(prob.obs_uv),
+            obs_x_right=pad_rows(prob.obs_x_right),
+            obs_inv_sigma_sq=pad_rows(prob.obs_inv_sigma_sq),
+            obs_valid=pad_rows(prob.obs_valid),
+            lm_fixed=pad_rows(prob.lm_fixed),
+            lm_keep_inlier=pad_rows(prob.lm_keep_inlier),
+        )
+    data = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    def put(x, sh):
+        return None if x is None else jax.device_put(x, sh)
+
+    prob_sh = ba_mod.BAProblem(
+        cam_R=put(prob.cam_R, rep), cam_t=put(prob.cam_t, rep),
+        cam_fixed=put(prob.cam_fixed, rep), cam_valid=put(prob.cam_valid, rep),
+        lm_pos=put(prob.lm_pos, data), lm_valid=put(prob.lm_valid, data),
+        obs_cam=put(prob.obs_cam, data), obs_uv=put(prob.obs_uv, data),
+        obs_x_right=put(prob.obs_x_right, data),
+        obs_inv_sigma_sq=put(prob.obs_inv_sigma_sq, data),
+        obs_valid=put(prob.obs_valid, data),
+        lm_fixed=put(prob.lm_fixed, data),
+        lm_keep_inlier=put(prob.lm_keep_inlier, data),
+    )
+    cam_sh = jax.tree.map(lambda x: jax.device_put(x, rep), cam)
+    res = ba_mod.bundle_adjust(
+        prob_sh, cam_sh, model=model, num_first=num_first,
+        num_second=num_second)
+    if pad:
+        res = res._replace(lm_pos=res.lm_pos[:L],
+                           obs_is_outlier=res.obs_is_outlier[:L])
+    return res
 
 
 def make_sharded_ba_step(mesh: Mesh, cam: CamScalars, model: str = "perspective"):

@@ -41,6 +41,11 @@ class System:
         self.inline_mapping = inline_mapping
         self.camera: Camera = camera_from_yaml(cfg.section("Camera"))
         self.orb_params = OrbParams.from_yaml(cfg.section("Feature"))
+        # named registries serialized with the map — maps are self-describing
+        # and may carry several entries (reference camera_database.h,
+        # orb_params_database.h); loading a map adds its entries here
+        self.cameras = {self.camera.name: self.camera}
+        self.orb_params_registry = {self.orb_params.name: self.orb_params}
         pre = cfg.section("Preprocessing")
         min_size = int(pre.get("min_size", 800))
         mask_rects = pre.get("mask_rectangles", None)
@@ -64,9 +69,12 @@ class System:
         self.mapper.tracker = self.tracker
 
         # place recognition: matmul-tree vocabulary + inverted index
-        # (replaces the reference's FBoW .fbow file; see data/bow_vocabulary.py)
+        # (replaces the reference's FBoW .fbow file; see data/bow_vocabulary.py).
+        # Default = the packaged pretrained vocabulary, like the reference's
+        # mandatory orb_vocab.fbow argument (system.cc:44-50).
         self.bow_vocab = (
-            BowVocabulary.load(vocab_path) if vocab_path else BowVocabulary()
+            BowVocabulary.load(vocab_path) if vocab_path
+            else BowVocabulary.default()
         )
         self.bow_db = BowDatabase(self.bow_vocab)
         self.mapper.bow_db = self.bow_db

@@ -58,6 +58,53 @@ def test_map_roundtrip(built, tmp_path, fmt, ext):
     assert k0.graph_node.connections
 
 
+def test_sqlite3_reference_schema(built, tmp_path):
+    """The .db layout must match the reference byte-for-byte: table + column
+    names (keyframe.h:88-102, landmark.h:50-58, map_database.h:323-329,
+    camera_database.cc:234-253) and blob encodings (cv::KeyPoint structs,
+    column-major f64 pose, i32 id arrays)."""
+    import sqlite3
+
+    world, poses, slam, cfg = built
+    path = str(tmp_path / "schema.db")
+    slam.save_map_database(path, "sqlite3")
+    conn = sqlite3.connect(path)
+    c = conn.cursor()
+
+    def cols(tbl):
+        return [r[1] for r in c.execute(f"PRAGMA table_info({tbl})")]
+
+    assert cols("stats") == ["id", "frame_next_id", "keyframe_next_id",
+                             "landmark_next_id"]
+    assert cols("keyframes") == [
+        "id", "src_frm_id", "ts", "cam", "orb_params", "pose_cw", "n_keypts",
+        "undist_keypts", "x_rights", "depths", "descs", "n_markers", "markers"]
+    assert cols("landmarks") == ["id", "first_keyfrm", "pos_w", "ref_keyfrm",
+                                 "n_vis", "n_fnd"]
+    assert cols("associations") == [
+        "id", "lm_ids", "span_parent", "n_spanning_children",
+        "spanning_children", "n_loop_edges", "loop_edges"]
+    assert cols("cameras")[:6] == ["id", "name", "setup_type", "model_type",
+                                   "color_type", "cols"]
+
+    n, kpt_blob, pose_blob, desc_blob = c.execute(
+        "SELECT n_keypts, undist_keypts, pose_cw, descs FROM keyframes"
+    ).fetchone()
+    assert len(kpt_blob) == 28 * n  # packed cv::KeyPoint structs
+    assert len(pose_blob) == 16 * 8  # 4x4 float64
+    assert len(desc_blob) == 32 * n  # 256-bit descriptors
+    # pose blob is column-major: reassemble and compare against the map
+    kf_id = c.execute("SELECT id FROM keyframes").fetchone()[0]
+    pose = np.frombuffer(pose_blob, "<f8").reshape(4, 4).T
+    np.testing.assert_allclose(
+        pose, slam.map_db.keyframes[kf_id].pose_cw, atol=1e-12)
+    (lm_blob,) = c.execute(
+        "SELECT lm_ids FROM associations WHERE id=?", (kf_id,)).fetchone()
+    assert np.array_equal(np.frombuffer(lm_blob, "<i4"),
+                          slam.map_db.keyframes[kf_id].lm_ids)
+    conn.close()
+
+
 def test_localization_mode_on_prebuilt_map(built, tmp_path):
     """Load map, disable mapping, relocalize and track (reference CI
     localization runs, main.yml:150-159)."""
