@@ -52,9 +52,37 @@ def main():
     med = float(np.median(steady))
     mean = float(np.mean(steady))
     fps = 1.0 / mean if mean > 0 else 0.0
-    tracked = sum(1 for (_, p, _, _) in slam.frame_poses if p is not None)
+    results = slam.frame_poses
+    tracked = sum(1 for (_, p, _, _) in results if p is not None)
+
+    # the FPS number is only meaningful if the run actually tracked: assert
+    # no silent mid-run loss (everything after init must track) and a sane
+    # trajectory (Umeyama-aligned ATE against the rendered ground truth)
+    first_tracked = next(
+        i for i, (_, p, _, _) in enumerate(results) if p is not None)
+    tracked_after_init = sum(
+        1 for (_, p, _, _) in results[first_tracked:] if p is not None)
+    # <=2 transient losses tolerated (async pipeline reloc recovers within a
+    # frame); anything more is a silent mid-run tracking failure
+    assert tracked_after_init >= n_frames - first_tracked - 2, (
+        f"lost frames mid-run: {tracked_after_init}/{n_frames - first_tracked}"
+        " tracked after init")
+    from stella_vslam_tpu.util.synthetic import umeyama_align
+
+    est, gt = [], []
+    for (_, pose, _, fid) in results:
+        if pose is None:
+            continue
+        R, t = pose[:3, :3], pose[:3, 3]
+        est.append(-R.T @ t)
+        Tg = poses[fid]
+        gt.append(-Tg[:3, :3].T @ Tg[:3, 3])
+    aligned, _ = umeyama_align(np.asarray(est), np.asarray(gt))
+    ate = float(np.sqrt(np.mean(np.sum((aligned - np.asarray(gt)) ** 2, 1))))
+    assert ate < 0.05, f"ATE RMSE {ate:.4f} m exceeds 0.05 m bound"
     sys.stderr.write(
-        f"tracked {tracked}/{n_frames} frames, kfs={slam.map_db.num_keyframes()}, "
+        f"tracked {tracked}/{n_frames} frames (all {tracked_after_init} after "
+        f"init), ATE {ate*1000:.1f} mm, kfs={slam.map_db.num_keyframes()}, "
         f"lms={slam.map_db.num_landmarks()}, median {med*1000:.1f} ms, "
         f"mean {np.mean(steady)*1000:.1f} ms\n"
     )

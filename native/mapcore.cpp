@@ -202,6 +202,40 @@ void store_erase_keyframe_data(void* s, int64_t kf_id) {
     static_cast<Store*>(s)->kfs.erase(kf_id);
 }
 
+// Redundant-observation counting for keyframe culling (reference
+// local_map_cleaner.cc:68-123): an observation is redundant when >= 3 other
+// keyframes see the same landmark at the same-or-finer scale (level <=
+// own+1). The Python double loop over slots x observations cost 10-70 ms
+// per keyframe event.
+void store_count_redundant(void* s, int64_t kf_id, const int64_t* lm_ids,
+                           const int32_t* levels, int32_t n,
+                           int32_t* out_valid, int32_t* out_redundant) {
+    auto& st = *static_cast<Store*>(s);
+    int32_t valid = 0, redundant = 0;
+    for (int32_t i = 0; i < n; ++i) {
+        if (lm_ids[i] < 0) continue;
+        auto it = st.obs.find(lm_ids[i]);
+        if (it == st.obs.end()) continue;
+        ++valid;
+        auto& v = it->second;
+        if ((int32_t)v.size() <= 3) continue;
+        const int32_t own_level = levels[i];
+        int32_t better = 0;
+        for (auto& o : v) {
+            if (o.kf_id == kf_id) continue;
+            auto kit = st.kfs.find(o.kf_id);
+            if (kit == st.kfs.end()) continue;
+            if (o.idx < (int32_t)kit->second.level.size() &&
+                kit->second.level[o.idx] <= own_level + 1) {
+                if (++better >= 3) break;
+            }
+        }
+        if (better >= 3) ++redundant;
+    }
+    *out_valid = valid;
+    *out_redundant = redundant;
+}
+
 // Batched landmark statistics refresh (reference landmark.cc
 // compute_descriptor + update_mean_normal_and_obs_scale_variance), the
 // per-keyframe hot path the Python layer was spending ~0.5 s/keyframe on.

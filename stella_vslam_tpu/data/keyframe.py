@@ -195,18 +195,13 @@ class Keyframe:
 
     def compute_median_depth(self, map_db, use_abs: bool = False) -> float:
         """Median z (camera frame) of associated landmarks
-        (reference keyframe.h:206-211)."""
+        (reference keyframe.h:206-211). Vectorized over the field store."""
+        ids = map_db.fields.live(self.lm_ids[self.lm_ids >= 0])
+        if len(ids) == 0:
+            return 0.0
         R, t = self.rot_cw, self.trans_cw
-        zs = []
-        for lm_id in self.lm_ids:
-            if lm_id < 0:
-                continue
-            lm = map_db.landmarks.get(int(lm_id))
-            if lm is None or lm.will_be_erased:
-                continue
-            z = float(R[2] @ lm.pos_w + t[2])
-            zs.append(abs(z) if use_abs else z)
-        return float(np.median(zs)) if zs else 0.0
+        z = map_db.fields.pos[ids] @ R[2] + t[2]
+        return float(np.median(np.abs(z) if use_abs else z))
 
     # ---- erase protocol (reference keyframe.h:232-250) ----
     def set_not_to_be_erased(self, flag: bool = True):

@@ -23,6 +23,115 @@ from stella_vslam_tpu.data.keyframe import Keyframe
 from stella_vslam_tpu.data.landmark import Landmark
 
 
+class LandmarkFieldStore:
+    """Contiguous per-landmark field arrays indexed by LANDMARK ID (ids are
+    monotone, so id == row; capacity doubles on demand). Landmark objects
+    write through their field properties (data/landmark.py); bulk consumers
+    — fuse dispatch, BA assembly, device-table publish — read whole id sets
+    with ONE fancy index instead of a Python loop over objects (measured
+    30-80 ms of per-keyframe-event host time in round 1)."""
+
+    def __init__(self, capacity: int = 1 << 14):
+        self._alloc(capacity)
+
+    def _alloc(self, cap: int):
+        self.pos = np.zeros((cap, 3), np.float64)
+        self.desc = np.zeros((cap, 8), np.uint32)
+        self.normal = np.zeros((cap, 3), np.float64)
+        self.dmin = np.zeros(cap, np.float64)
+        self.dmax = np.zeros(cap, np.float64)
+        self.alive = np.zeros(cap, bool)
+        self.capacity = cap
+
+    def ensure(self, lm_id: int):
+        if lm_id < self.capacity:
+            return
+        cap = self.capacity
+        while cap <= lm_id:
+            cap *= 2
+        old = (self.pos, self.desc, self.normal, self.dmin, self.dmax,
+               self.alive)
+        n = old[0].shape[0]
+        self._alloc(cap)
+        self.pos[:n], self.desc[:n], self.normal[:n] = old[0], old[1], old[2]
+        self.dmin[:n], self.dmax[:n], self.alive[:n] = old[3], old[4], old[5]
+
+    def attach(self, lm: Landmark):
+        """Move the landmark's fields into its store row (write-through from
+        now on via the Landmark properties)."""
+        self.ensure(lm.id)
+        i = lm.id
+        self.pos[i] = lm.pos_w
+        self.desc[i] = lm.descriptor
+        self.normal[i] = lm.mean_normal
+        self.dmin[i] = lm.min_valid_dist
+        self.dmax[i] = lm.max_valid_dist
+        self.alive[i] = True
+        lm._fs = self
+
+    def live(self, lm_ids: np.ndarray) -> np.ndarray:
+        """Filter an id array to rows still alive (erased/replaced excluded)."""
+        lm_ids = np.asarray(lm_ids, np.int64)
+        if len(lm_ids) == 0:
+            return lm_ids
+        return lm_ids[self.alive[lm_ids]]
+
+    def kill(self, lm_id: int):
+        if lm_id < self.capacity:
+            self.alive[lm_id] = False
+
+    def clear(self):
+        self.alive[:] = False
+
+
+def fill_observation_tables(map_db, kf_ids, obs_cam, obs_idx, obs_valid,
+                            inv_sigma):
+    """Vectorized per-observation measurement fill for BA assembly: one
+    stacked fancy index over the keyframes' host keypoint mirrors instead of
+    a per-keyframe mask loop over the [L,D] table (measured 10-25 ms per
+    keyframe event at K=64, L=2048). Returns (obs_uv, obs_xr, obs_w)."""
+    L, D = obs_cam.shape
+    kfs = [map_db.keyframes.get(k) for k in kf_ids]
+    slot_counts = {kf.num_slots for kf in kfs if kf is not None}
+    if not kfs or any(kf is None for kf in kfs) or len(slot_counts) != 1:
+        # fallback: per-keyframe loop (mixed slot counts or erased keyframe)
+        obs_uv = np.zeros((L, D, 2), np.float32)
+        obs_xr = np.full((L, D), -1.0, np.float32)
+        obs_w = np.ones((L, D), np.float32)
+        for s, kf in enumerate(kfs):
+            if kf is None:
+                obs_valid[obs_cam == s] = False
+                continue
+            rows, ds = np.nonzero((obs_cam == s) & obs_valid)
+            if len(rows) == 0:
+                continue
+            idxs = obs_idx[rows, ds]
+            obs_uv[rows, ds] = kf.h_undist_xy[idxs]
+            obs_xr[rows, ds] = kf.h_x_right[idxs]
+            obs_w[rows, ds] = inv_sigma[kf.h_level[idxs]]
+        return obs_uv, obs_xr, obs_w
+    und = np.stack([kf.h_undist_xy for kf in kfs])
+    xr = np.stack([kf.h_x_right for kf in kfs])
+    lev = np.stack([kf.h_level for kf in kfs])
+    cam = np.clip(obs_cam, 0, len(kfs) - 1)
+    idx = np.clip(obs_idx, 0, und.shape[1] - 1)
+    v = obs_valid
+    obs_uv = np.where(v[..., None], und[cam, idx], 0.0).astype(np.float32)
+    obs_xr = np.where(v, xr[cam, idx], -1.0).astype(np.float32)
+    lev_safe = np.clip(lev[cam, idx], 0, len(inv_sigma) - 1)
+    obs_w = np.where(v, inv_sigma[lev_safe], 1.0).astype(np.float32)
+    return obs_uv, obs_xr, obs_w
+
+
+def stable_unique(arr: np.ndarray) -> np.ndarray:
+    """First-occurrence-ordered unique (np.unique sorts by value, which
+    would turn priority-ordered truncation into drop-the-newest)."""
+    if len(arr) == 0:
+        return arr
+    _, first = np.unique(arr, return_index=True)
+    return arr[np.sort(first)]
+
+
 class TableSnap(NamedTuple):
     """One coherent published state of the device landmark table.
 
@@ -116,16 +225,15 @@ class DeviceLandmarkTable:
         reference semantics and the fast layout. None = all live landmarks
         (small maps / no center)."""
         self._fold_counters(landmarks)
+        fs = map_db.fields
         if local_ids is None:
-            lms = [lm for lm in landmarks.values() if not lm.will_be_erased]
+            sel = np.fromiter(landmarks.keys(), np.int64, len(landmarks))
         else:
-            lms = [
-                landmarks[i] for i in local_ids
-                if i in landmarks and not landmarks[i].will_be_erased
-            ]
+            sel = np.asarray(local_ids, np.int64)
+        sel = fs.live(sel)
         C = self.capacity
-        lms = lms[:C]
-        n = len(lms)
+        sel = sel[:C]
+        n = len(sel)
         pos = np.zeros((C, 3), np.float32)
         desc = np.zeros((C, 8), np.uint32)
         normal = np.zeros((C, 3), np.float32)
@@ -133,14 +241,14 @@ class DeviceLandmarkTable:
         dmax = np.zeros(C, np.float32)
         valid = np.zeros(C, bool)
         ids = np.full(C, -1, np.int64)
-        for i, lm in enumerate(lms):
-            pos[i] = lm.pos_w
-            desc[i] = lm.descriptor
-            normal[i] = lm.mean_normal
-            dmin[i] = lm.min_valid_dist
-            dmax[i] = lm.max_valid_dist
-            valid[i] = True
-            ids[i] = lm.id
+        # one fancy index per field instead of a Python loop over landmarks
+        pos[:n] = fs.pos[sel]
+        desc[:n] = fs.desc[sel]
+        normal[:n] = fs.normal[sel]
+        dmin[:n] = fs.dmin[sel]
+        dmax[:n] = fs.dmax[sel]
+        valid[:n] = True
+        ids[:n] = sel
         self.count = n
         self.version += 1
         valid_dev = jax.device_put(valid)
@@ -180,6 +288,7 @@ class MapDatabase:
         # epoch they were dispatched under and skip apply on mismatch
         self.epoch = 0
         self.device_table = DeviceLandmarkTable(device_table_capacity)
+        self.fields = LandmarkFieldStore()
         self.local_landmark_ids: list = []
         self.on_erase_keyframe: list = []  # callbacks(kf_id)
         self.markers: Dict[int, object] = {}  # fiducial markers (data/marker)
@@ -216,8 +325,37 @@ class MapDatabase:
         with self.lock:
             self.landmarks[lm.id] = lm
             lm._store = self.assoc_store
+            self.fields.attach(lm)
             for kf_id, idx in lm.observations.items():
                 self.assoc_store.add(lm.id, kf_id, idx)
+
+    def bulk_add_landmarks(self, ids: np.ndarray, positions: np.ndarray,
+                           ref_keyfrm_id: int):
+        """Create + register a batch of landmarks: one vectorized field-store
+        write instead of per-landmark attach (the mapper's triangulation
+        apply creates hundreds per keyframe event)."""
+        with self.lock:
+            fs = self.fields
+            fs.ensure(int(ids[-1]))
+            fs.pos[ids] = positions
+            fs.desc[ids] = 0
+            fs.normal[ids] = 0.0
+            fs.dmin[ids] = 0.0
+            fs.dmax[ids] = 0.0
+            fs.alive[ids] = True
+            out = []
+            for i in ids:
+                lm = Landmark.create_registered(int(i), ref_keyfrm_id, fs)
+                lm._store = self.assoc_store
+                self.landmarks[lm.id] = lm
+                out.append(lm)
+            return out
+
+    def alloc_landmark_ids(self, n: int) -> np.ndarray:
+        with self.lock:
+            base = self._next_landmark_id
+            self._next_landmark_id += n
+            return np.arange(base, base + n, dtype=np.int64)
 
     def erase_landmark(self, lm_id: int):
         with self.lock:
@@ -225,6 +363,7 @@ class MapDatabase:
             if lm is None:
                 return
             lm.will_be_erased = True
+            self.fields.kill(lm_id)
             for kf_id, idx in lm.observations.items():
                 kf = self.keyframes.get(kf_id)
                 if kf is not None and kf.lm_ids[idx] == lm_id:
@@ -271,6 +410,7 @@ class MapDatabase:
             new.num_observed += old.num_observed
             old.observations = {}
             old.will_be_erased = True
+            self.fields.kill(old.id)
             old.replaced_id = new.id
             # tombstone so stale associations (tracking chain, pending
             # frames) can be forwarded to the surviving landmark — the
@@ -304,20 +444,21 @@ class MapDatabase:
             kf_ids = np.array([kf.id for kf in kfs], np.int64)
             centers = np.stack([kf.cam_center for kf in kfs])
             lm_ids = np.array([lm.id for lm in lms], np.int64)
-            lm_pos = np.stack([lm.pos_w for lm in lms])
+            lm_pos = self.fields.pos[lm_ids]
             ref_ids = np.array([lm.ref_keyfrm_id for lm in lms], np.int64)
             desc, normal, dmin, dmax, flags = \
                 self.assoc_store.batch_landmark_refresh(
                     lm_ids, lm_pos, ref_ids, kf_ids, centers, scale_factors)
-            for i, lm in enumerate(lms):
-                f = flags[i]
-                if f & 1:
-                    lm.descriptor = desc[i]
-                if f & 2:
-                    lm.mean_normal = normal[i]
-                if f & 4:
-                    lm.min_valid_dist = float(dmin[i])
-                    lm.max_valid_dist = float(dmax[i])
+            # vectorized write-through into the field store (every landmark
+            # in self.landmarks is attached)
+            fs = self.fields
+            m = (flags & 1).astype(bool)
+            fs.desc[lm_ids[m]] = desc[m]
+            m = (flags & 2).astype(bool)
+            fs.normal[lm_ids[m]] = normal[m]
+            m = (flags & 4).astype(bool)
+            fs.dmin[lm_ids[m]] = dmin[m]
+            fs.dmax[lm_ids[m]] = dmax[m]
 
     def resolve_landmark_id(self, lm_id: int) -> int:
         """Follow the replacement chain to the surviving landmark id;
@@ -412,17 +553,16 @@ class MapDatabase:
                         second += kf.graph_node.get_top_n_covisibilities(10)
                 # ordered + unique: the table truncates past its fixed
                 # capacity, so closer keyframes' landmarks must come first
-                seen = set()
-                local_ids = []
+                # (stable first-occurrence unique keeps that priority)
+                arrs = []
                 for k in dict.fromkeys(kf_ids + second):
                     kf = self.keyframes.get(k)
                     if kf is None or kf.will_be_erased:
                         continue
-                    for lm_id in kf.lm_ids[kf.lm_ids >= 0]:
-                        lm_id = int(lm_id)
-                        if lm_id not in seen:
-                            seen.add(lm_id)
-                            local_ids.append(lm_id)
+                    arrs.append(kf.lm_ids[kf.lm_ids >= 0])
+                local_ids = (
+                    stable_unique(np.concatenate(arrs)) if arrs
+                    else np.zeros(0, np.int64))
             self.device_table.refresh(self.landmarks, self, local_ids=local_ids)
 
     # ---- reset / serialization ----
@@ -441,6 +581,7 @@ class MapDatabase:
             self.local_landmark_ids = []
             self.replaced_ids.clear()
             self.assoc_store.clear()
+            self.fields.clear()
 
     def to_json(self, cameras: dict, orb_params: dict) -> dict:
         with self.lock:

@@ -222,24 +222,20 @@ class GlobalOptimizationModule:
                 # cross-loop observations that let the global BA stitch the
                 # two sides rigidly
                 if cand is not None and self.mapper is not None:
-                    cand_side_ids = []
-                    seen_ids = set()
+                    arrs = []
                     for kid in [cand_id] + cand.graph_node.get_covisibilities():
                         ckf = map_db.keyframes.get(kid)
                         if ckf is None or ckf.will_be_erased:
                             continue
-                        for lm_id in ckf.lm_ids[ckf.lm_ids >= 0]:
-                            if int(lm_id) not in seen_ids:
-                                seen_ids.add(int(lm_id))
-                                lm = map_db.landmarks.get(int(lm_id))
-                                if lm is not None and not lm.will_be_erased:
-                                    cand_side_ids.append((int(lm_id), lm))
+                        arrs.append(ckf.lm_ids[ckf.lm_ids >= 0])
+                    cand_side_ids = map_db.fields.live(
+                        np.unique(np.concatenate(arrs))) if arrs else []
                     fuse_kfs = [
                         map_db.keyframes[k] for k in covis
                         if k in map_db.keyframes
                         and not map_db.keyframes[k].will_be_erased
                     ]
-                    if cand_side_ids and fuse_kfs:
+                    if len(cand_side_ids) and fuse_kfs:
                         self.mapper._fuse_into(map_db, fuse_kfs, cand_side_ids,
                                                margin=4.0)
 
@@ -446,87 +442,95 @@ class GlobalOptimizationModule:
                         and self.mapper._thread.is_alive():
                     time.sleep(0.002)
                 paused_here = True
-            with map_db.lock:
-                if self._abort_loop_ba:
-                    return
-                # any pending local BA surviving the pause settle is stale now
-                map_db.bump_epoch()
-                cam_fixed_h = np.asarray(prob.cam_fixed)
-                before = {
-                    k: (kf.rot_cw.copy(), kf.trans_cw.copy())
-                    for k, kf in map_db.keyframes.items()
-                    if not kf.will_be_erased
-                }
-                after = {}
-                for slot, kf_id in enumerate(kf_slots):
-                    if kf_id < 0 or kf_id not in before:
-                        continue
-                    if bool(cam_fixed_h[slot]):
-                        after[kf_id] = before[kf_id]
-                    else:
-                        after[kf_id] = (
-                            camR[slot].astype(np.float64),
-                            camt[slot].astype(np.float64),
-                        )
-                # spanning-tree propagation, parents before children
-                roots = [
-                    k for k in before
-                    if map_db.keyframes[k].graph_node.spanning_parent is None
-                ]
-                stack = list(roots)
-                visited = set()
-                while stack:
-                    k = stack.pop()
-                    if k in visited:
-                        continue
-                    visited.add(k)
-                    kf = map_db.keyframes.get(k)
-                    if kf is None:
-                        continue
-                    if k not in after and k in before:
-                        parent = kf.graph_node.spanning_parent
-                        if parent in after and parent in before:
-                            Rp_b, tp_b = before[parent]
-                            Rc_b, tc_b = before[k]
-                            R_rel = Rc_b @ Rp_b.T  # child <- parent (before)
-                            t_rel = tc_b - R_rel @ tp_b
-                            Rp_a, tp_a = after[parent]
-                            after[k] = (R_rel @ Rp_a, R_rel @ tp_a + t_rel)
-                    stack.extend(kf.graph_node.spanning_children)
-                for k, (Ra, ta) in after.items():
-                    kf = map_db.keyframes.get(k)
-                    if kf is None or kf.will_be_erased:
-                        continue
-                    T = np.eye(4)
-                    T[:3, :3] = Ra
-                    T[:3, 3] = ta
-                    kf.set_pose_cw(T)
-                # landmarks: optimized rows directly, the rest remapped via
-                # their reference keyframe before/after poses
-                row_of = {
-                    lm_id: l for l, lm_id in enumerate(lm_ids) if lm_id >= 0
-                }
-                for lm_id, lm in map_db.landmarks.items():
-                    if lm.will_be_erased:
-                        continue
-                    row = row_of.get(lm_id)
-                    if row is not None:
-                        lm.pos_w = lm_new[row].astype(np.float64)
-                        continue
-                    rk = lm.ref_keyfrm_id
-                    if rk in before and rk in after:
-                        Rb, tb = before[rk]
-                        Ra, ta = after[rk]
-                        Xc = Rb @ lm.pos_w + tb
-                        lm.pos_w = Ra.T @ (Xc - ta)
-                for mk, ci, row in marker_rows:
-                    if not mk.keep_fixed:
-                        mk.corners_world[ci] = lm_new[row].astype(np.float64)
+            self._apply_global_ba_result(
+                prob, lm_ids, kf_slots, marker_rows, camR, camt, lm_new)
             map_db.refresh_device_table(center_kf_id=center_kf_id)
         finally:
             if paused_here and self.mapper is not None:
                 self.mapper.resume()
             self.loop_ba_running = False
+
+    def _apply_global_ba_result(self, prob, lm_ids, kf_slots, marker_rows,
+                            camR, camt, lm_new):
+        """Global-BA writeback with spanning-tree propagation (factored out
+        so tests can interleave map growth between solve and writeback)."""
+        map_db = self.map_db
+        with map_db.lock:
+            if self._abort_loop_ba:
+                return
+            # any pending local BA surviving the pause settle is stale now
+            map_db.bump_epoch()
+            cam_fixed_h = np.asarray(prob.cam_fixed)
+            before = {
+                k: (kf.rot_cw.copy(), kf.trans_cw.copy())
+                for k, kf in map_db.keyframes.items()
+                if not kf.will_be_erased
+            }
+            after = {}
+            for slot, kf_id in enumerate(kf_slots):
+                if kf_id < 0 or kf_id not in before:
+                    continue
+                if bool(cam_fixed_h[slot]):
+                    after[kf_id] = before[kf_id]
+                else:
+                    after[kf_id] = (
+                        camR[slot].astype(np.float64),
+                        camt[slot].astype(np.float64),
+                    )
+            # spanning-tree propagation, parents before children
+            roots = [
+                k for k in before
+                if map_db.keyframes[k].graph_node.spanning_parent is None
+            ]
+            stack = list(roots)
+            visited = set()
+            while stack:
+                k = stack.pop()
+                if k in visited:
+                    continue
+                visited.add(k)
+                kf = map_db.keyframes.get(k)
+                if kf is None:
+                    continue
+                if k not in after and k in before:
+                    parent = kf.graph_node.spanning_parent
+                    if parent in after and parent in before:
+                        Rp_b, tp_b = before[parent]
+                        Rc_b, tc_b = before[k]
+                        R_rel = Rc_b @ Rp_b.T  # child <- parent (before)
+                        t_rel = tc_b - R_rel @ tp_b
+                        Rp_a, tp_a = after[parent]
+                        after[k] = (R_rel @ Rp_a, R_rel @ tp_a + t_rel)
+                stack.extend(kf.graph_node.spanning_children)
+            for k, (Ra, ta) in after.items():
+                kf = map_db.keyframes.get(k)
+                if kf is None or kf.will_be_erased:
+                    continue
+                T = np.eye(4)
+                T[:3, :3] = Ra
+                T[:3, 3] = ta
+                kf.set_pose_cw(T)
+            # landmarks: optimized rows directly, the rest remapped via
+            # their reference keyframe before/after poses
+            row_of = {
+                lm_id: l for l, lm_id in enumerate(lm_ids) if lm_id >= 0
+            }
+            for lm_id, lm in map_db.landmarks.items():
+                if lm.will_be_erased:
+                    continue
+                row = row_of.get(lm_id)
+                if row is not None:
+                    lm.pos_w = lm_new[row].astype(np.float64)
+                    continue
+                rk = lm.ref_keyfrm_id
+                if rk in before and rk in after:
+                    Rb, tb = before[rk]
+                    Ra, ta = after[rk]
+                    Xc = Rb @ lm.pos_w + tb
+                    lm.pos_w = Ra.T @ (Xc - ta)
+            for mk, ci, row in marker_rows:
+                if not mk.keep_fixed:
+                    mk.corners_world[ci] = lm_new[row].astype(np.float64)
 
     def _assemble_global_ba(self, D: int = 8):
         map_db = self.map_db
@@ -558,9 +562,9 @@ class GlobalOptimizationModule:
                 )
             lm_pos = np.zeros((L, 3), np.float32)
             lm_valid = np.zeros(L, bool)
-            for l, lm_id in enumerate(lm_ids):
-                lm_pos[l] = map_db.landmarks[lm_id].pos_w
-                lm_valid[l] = True
+            nl = len(lm_ids)
+            lm_pos[:nl] = map_db.fields.pos[np.asarray(lm_ids, np.int64)]
+            lm_valid[:nl] = True
             lm_ids_arr = np.asarray(
                 list(lm_ids) + [-1] * (L - len(lm_ids)), np.int64
             )
@@ -568,21 +572,11 @@ class GlobalOptimizationModule:
                 lm_ids_arr, np.asarray(kf_ids, np.int64),
                 np.arange(len(kf_ids), dtype=np.int32), D,
             )
-            obs_uv = np.zeros((L, D, 2), np.float32)
-            obs_xr = np.full((L, D), -1.0, np.float32)
-            obs_w = np.ones((L, D), np.float32)
-            for s, kf_id in enumerate(kf_ids):
-                kf = map_db.keyframes.get(kf_id)
-                if kf is None:
-                    obs_valid[obs_cam == s] = False
-                    continue
-                rows, ds = np.nonzero((obs_cam == s) & obs_valid)
-                if len(rows) == 0:
-                    continue
-                idxs = obs_idx[rows, ds]
-                obs_uv[rows, ds] = kf.h_undist_xy[idxs]
-                obs_xr[rows, ds] = kf.h_x_right[idxs]
-                obs_w[rows, ds] = inv_sigma[kf.h_level[idxs]]
+            from stella_vslam_tpu.data.map_database import \
+                fill_observation_tables
+
+            obs_uv, obs_xr, obs_w = fill_observation_tables(
+                map_db, kf_ids, obs_cam, obs_idx, obs_valid, inv_sigma)
             # marker corner vertices (reference global_bundle_adjuster
             # marker edges; same semantics as local BA)
             from stella_vslam_tpu.marker.marker import append_marker_rows

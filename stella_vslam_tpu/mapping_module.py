@@ -26,6 +26,7 @@ import numpy as np
 
 from stella_vslam_tpu.data.keyframe import Keyframe
 from stella_vslam_tpu.data.landmark import Landmark
+from stella_vslam_tpu.data.map_database import fill_observation_tables
 from stella_vslam_tpu.marker.marker import append_marker_rows
 from stella_vslam_tpu.match import fuse as fuse_match
 from stella_vslam_tpu.module.local_map_cleaner import LocalMapCleaner
@@ -247,14 +248,17 @@ class MappingModule:
         handles += [c[5] for c in fuse_chunks]
         fetched = list(fetch_all(*handles)) if handles else []
         _mark()
+        _sub = [time.monotonic()]
         if tri is not None:
             ok_all, pos_all, idx2_all = fetched[0], fetched[1], fetched[2]
             fetched = fetched[3:]
             self._apply_triangulation(cur, tri[1], ok_all, pos_all, idx2_all)
+        _sub.append(time.monotonic())
         if bow_dev is not None:
             _, bow_vec = self.bow_db.vocab.words_to_bow(fetched[0], cur.h_valid)
             self.bow_db.add_keyframe(cur.id, bow_vec)
             fetched = fetched[1:]
+        _sub.append(time.monotonic())
         if fuse_chunks:
             n = len(fuse_chunks)
             touched = []
@@ -266,6 +270,10 @@ class MappingModule:
                     )
                 map_db.batch_refresh_landmark_stats(
                     touched, self.orb_params.scale_factors)
+        _sub.append(time.monotonic())
+        _log.debug(
+            "kf %d apply: tri=%.0f bow=%.0f fuse=%.0f", cur.id,
+            *[(_sub[i + 1] - _sub[i]) * 1e3 for i in range(3)])
         _mark()
         cur.graph_node.update_connections(map_db)
         published = False
@@ -364,6 +372,10 @@ class MappingModule:
 
     def _apply_triangulation(self, cur: Keyframe, neighbors,
                              ok_all, pos_all, idx2_all):
+        """Per-neighbor batch creation: slot-claim filtering and field-store
+        registration are vectorized; only the observation bookkeeping is a
+        (tight) per-landmark loop. Sequential over neighbors so later
+        neighbors see earlier claims, matching the reference's ordering."""
         map_db = self.map_db
         new_lms = []
         with map_db.lock:
@@ -371,19 +383,25 @@ class MappingModule:
                 ok = ok_all[b]
                 if not ok.any():
                     continue
-                for i in np.nonzero(ok)[0]:
-                    # a slot may have been claimed by an earlier neighbor
-                    if cur.lm_ids[i] >= 0 or other.lm_ids[idx2_all[b, i]] >= 0:
-                        continue
-                    lm = Landmark(map_db.next_landmark_id(), pos_all[b, i], cur.id)
-                    lm.first_keyfrm_id = cur.id
-                    map_db.add_landmark(lm)
-                    lm.add_observation(cur.id, int(i))
-                    lm.add_observation(other.id, int(idx2_all[b, i]))
-                    cur.add_landmark(lm.id, int(i))
-                    other.add_landmark(lm.id, int(idx2_all[b, i]))
-                    new_lms.append(lm)
-                    self.cleaner.add_fresh_landmark(lm.id)
+                idx2 = idx2_all[b]
+                sel = ok & (cur.lm_ids < 0)
+                sel &= other.lm_ids[np.clip(idx2, 0, other.num_slots - 1)] < 0
+                idxs = np.nonzero(sel)[0]
+                if len(idxs) == 0:
+                    continue
+                # two cur slots can match the same neighbor slot: keep first
+                _, first = np.unique(idx2[idxs], return_index=True)
+                idxs = idxs[np.sort(first)]
+                oidx = idx2[idxs]
+                ids = map_db.alloc_landmark_ids(len(idxs))
+                lms = map_db.bulk_add_landmarks(ids, pos_all[b][idxs], cur.id)
+                cur.lm_ids[idxs] = ids
+                other.lm_ids[oidx] = ids
+                for lm, fi, oi in zip(lms, idxs, oidx):
+                    lm.add_observation(cur.id, int(fi))
+                    lm.add_observation(other.id, int(oi))
+                self.cleaner.fresh_landmark_ids.extend(ids.tolist())
+                new_lms.extend(lms)
             map_db.batch_refresh_landmark_stats(
                 new_lms, self.orb_params.scale_factors)
         if new_lms:
@@ -406,13 +424,9 @@ class MappingModule:
         tgt_kfs = [
             map_db.keyframes[t] for t in targets if t in map_db.keyframes
         ]
-        lm_list = []
-        for i in lm_ids:
-            lm = map_db.landmarks.get(i)
-            if lm is not None and not lm.will_be_erased:
-                lm_list.append((i, lm))
-        if tgt_kfs and lm_list:
-            self._fuse_into(map_db, tgt_kfs, lm_list)
+        live = map_db.fields.live(np.asarray(lm_ids, np.int64))
+        if tgt_kfs and len(live):
+            self._fuse_into(map_db, tgt_kfs, live)
 
     # ------------------------------------------------------------------
     def _collect_fuse_chunks(self, cur: Keyframe):
@@ -421,8 +435,9 @@ class MappingModule:
         (mapping_module.cc:417-537) — and return the chunk records for a
         caller-grouped fetch. Direction 2's candidate set is collected
         before direction 1 is applied — any landmark direction 1 replaces
-        is skipped at apply time by its will_be_erased check, so the result
-        matches the reference's sequential order."""
+        is skipped at apply time by its liveness check, so the result
+        matches the reference's sequential order. All id collection is
+        vectorized over the keyframe association arrays + field store."""
         map_db = self.map_db
         targets = cur.graph_node.get_top_n_covisibilities(10)
         seconds = []
@@ -436,25 +451,15 @@ class MappingModule:
         ]
 
         # direction 1: current landmarks -> each target keyframe
-        cur_lms = [
-            (int(lm_id), map_db.landmarks.get(int(lm_id)))
-            for lm_id in cur.lm_ids if lm_id >= 0
-        ]
-        cur_lms = [(i, lm) for i, lm in cur_lms if lm is not None and not lm.will_be_erased]
-        # direction 2: target landmarks -> current keyframe. Id collection is
-        # vectorized (np.unique over the stacked association arrays): the
-        # nested Python loop costs ~10-40 ms per keyframe event at 40 targets
-        # x ~1200 slots.
-        tgt_lm_ids = []
+        cur_ids = map_db.fields.live(cur.lm_ids[cur.lm_ids >= 0])
+        # direction 2: target landmarks -> current keyframe
+        tgt_ids = np.zeros(0, np.int64)
         if tgt_kfs:
-            ids = np.unique(np.concatenate([kf.lm_ids for kf in tgt_kfs]))
-            for lm_id in ids[ids >= 0]:
-                lm = map_db.landmarks.get(int(lm_id))
-                if lm is not None and not lm.will_be_erased:
-                    tgt_lm_ids.append((int(lm_id), lm))
+            cat = np.concatenate([kf.lm_ids for kf in tgt_kfs])
+            tgt_ids = map_db.fields.live(np.unique(cat[cat >= 0]))
 
-        chunks1 = self._dispatch_fuse(tgt_kfs, cur_lms) if cur_lms else []
-        chunks2 = self._dispatch_fuse([cur], tgt_lm_ids) if tgt_lm_ids else []
+        chunks1 = self._dispatch_fuse(tgt_kfs, cur_ids) if len(cur_ids) else []
+        chunks2 = self._dispatch_fuse([cur], tgt_ids) if len(tgt_ids) else []
         return chunks1 + chunks2
 
     # fixed fuse program shape: every dispatch is exactly (KF_CHUNK keyframes
@@ -466,12 +471,15 @@ class MappingModule:
     FUSE_KF_CHUNK = 16
     FUSE_LM_CHUNK = 2048
 
-    def _dispatch_fuse(self, keyframes, lm_list, margin: float = 3.0):
-        """Dispatch the fuse programs for (keyframes x lm_list); returns a
-        list of chunk records (lm_list, kf_chunk, m0, msz, best_dev,
+    def _dispatch_fuse(self, keyframes, lm_ids: np.ndarray,
+                       margin: float = 3.0):
+        """Dispatch the fuse programs for (keyframes x lm_ids); returns a
+        list of chunk records (lm_ids, kf_chunk, m0, msz, best_dev,
         acc_dev) whose device arrays the caller fetches (grouped with other
-        round trips) and applies via _apply_fuse_chunk."""
-        if not lm_list:
+        round trips) and applies via _apply_fuse_chunk. Landmark fields come
+        from the field store with one fancy index per field."""
+        lm_ids = np.asarray(lm_ids, np.int64)
+        if len(lm_ids) == 0:
             return []
         keyframes = [
             kf for kf in keyframes if kf is not None and not kf.will_be_erased
@@ -479,12 +487,13 @@ class MappingModule:
         if not keyframes:
             return []
         KC, MC = self.FUSE_KF_CHUNK, self.FUSE_LM_CHUNK
-        lm_pos = np.array([lm.pos_w for _, lm in lm_list], np.float32)
-        lm_desc = np.stack([lm.descriptor for _, lm in lm_list])
-        lm_dmin = np.array([lm.min_valid_dist for _, lm in lm_list], np.float32)
-        lm_dmax = np.array([lm.max_valid_dist for _, lm in lm_list], np.float32)
-        lm_norm = np.array([lm.mean_normal for _, lm in lm_list], np.float32)
-        M = len(lm_list)
+        fs = self.map_db.fields
+        lm_pos = fs.pos[lm_ids].astype(np.float32)
+        lm_desc = fs.desc[lm_ids]
+        lm_dmin = fs.dmin[lm_ids].astype(np.float32)
+        lm_dmax = fs.dmax[lm_ids].astype(np.float32)
+        lm_norm = fs.normal[lm_ids].astype(np.float32)
+        M = len(lm_ids)
         kf_tuple = lambda kf: (
             kf.undist_xy, kf.feats.level, kf.feats.desc, kf.feats.valid,
             kf.x_right,
@@ -511,58 +520,75 @@ class MappingModule:
                     pad(lm_norm), lm_valid,
                     margin=margin,
                 )
-                chunks.append((lm_list, kf_chunk, m0, msz, best, acc))
+                chunks.append((lm_ids, kf_chunk, m0, msz, best, acc))
         return chunks
 
-    def _fuse_into(self, map_db, keyframes, lm_list, margin: float = 3.0):
+    def _fuse_into(self, map_db, keyframes, lm_ids, margin: float = 3.0):
         """Dispatch + fetch + apply in one call (used by the loop-closing
         thread; the mapper's keyframe path groups fetches across both fuse
         directions instead)."""
-        chunks = self._dispatch_fuse(keyframes, lm_list, margin=margin)
+        chunks = self._dispatch_fuse(keyframes, lm_ids, margin=margin)
         if not chunks:
             return
         fetched = fetch_all(*[c[4] for c in chunks], *[c[5] for c in chunks])
         touched = []
         with map_db.lock:
-            for ci, (lms, kf_chunk, m0, msz, _, _) in enumerate(chunks):
+            for ci, (ids, kf_chunk, m0, msz, _, _) in enumerate(chunks):
                 self._apply_fuse_chunk(
-                    map_db, kf_chunk, lms, m0, msz, fetched[ci],
+                    map_db, kf_chunk, ids, m0, msz, fetched[ci],
                     fetched[len(chunks) + ci], touched,
                 )
             map_db.batch_refresh_landmark_stats(
                 touched, self.orb_params.scale_factors)
 
-    def _apply_fuse_chunk(self, map_db, keyframes, lm_list, m0, msz,
+    def _apply_fuse_chunk(self, map_db, keyframes, lm_ids, m0, msz,
                           best_all, acc_all, touched):
+        """Accepted matches split vectorized into add-vs-replace groups
+        (liveness, slot occupancy, per-keypoint dedup all via numpy); only
+        the surviving few run landmark bookkeeping."""
+        fs = map_db.fields
         for b, kf in enumerate(keyframes):
-            acc = acc_all[b]
-            if not acc[:msz].any():
+            acc = acc_all[b][:msz]
+            if not acc.any():
                 continue
-            bidx = best_all[b]
-            for i in np.nonzero(acc[:msz])[0]:
-                lm_id, lm = lm_list[m0 + int(i)]
-                if lm.will_be_erased:
+            rows = np.nonzero(acc)[0]
+            cand = np.asarray(lm_ids[m0 + rows], np.int64)
+            alive = fs.alive[cand]
+            rows, cand = rows[alive], cand[alive]
+            if len(rows) == 0:
+                continue
+            kps = best_all[b][rows].astype(np.int64)
+            # the kernel resolves in-dispatch keypoint collisions; dedup any
+            # cross-row stragglers keep-first
+            _, first = np.unique(kps, return_index=True)
+            keep = np.sort(first)
+            cand, kps = cand[keep], kps[keep]
+            existing = kf.lm_ids[kps]
+            addm = existing < 0
+            repm = (existing >= 0) & (existing != cand)
+            for lm_id, kp in zip(cand[addm].tolist(), kps[addm].tolist()):
+                lm = map_db.landmarks.get(lm_id)
+                if lm is None or lm.will_be_erased or kf.id in lm.observations:
+                    # observed in this keyframe at another slot — adding
+                    # would orphan that slot (fuse.cc detect_duplication
+                    # is_observed_in_keyframe guard)
                     continue
-                kp = int(bidx[i])
-                existing_id = kf.lm_ids[kp]
-                if existing_id >= 0 and existing_id != lm_id:
-                    other = map_db.landmarks.get(int(existing_id))
-                    if other is None or other.will_be_erased:
-                        kf.lm_ids[kp] = -1
-                    elif other.num_observations() >= lm.num_observations():
-                        map_db.replace_landmark(lm, other, refresh=False)
-                        touched.append(other)
-                    else:
-                        map_db.replace_landmark(other, lm, refresh=False)
-                        touched.append(lm)
-                elif existing_id < 0:
-                    if kf.id in lm.observations:
-                        # already observed in this keyframe at another slot —
-                        # adding would orphan that slot (fuse.cc
-                        # detect_duplication is_observed_in_keyframe guard)
-                        continue
-                    lm.add_observation(kf.id, kp)
-                    kf.add_landmark(lm_id, kp)
+                lm.add_observation(kf.id, kp)
+                kf.add_landmark(lm_id, kp)
+                touched.append(lm)
+            for lm_id, kp, ex in zip(cand[repm].tolist(), kps[repm].tolist(),
+                                     existing[repm].tolist()):
+                lm = map_db.landmarks.get(lm_id)
+                if lm is None or lm.will_be_erased:
+                    continue
+                other = map_db.landmarks.get(int(ex))
+                if other is None or other.will_be_erased:
+                    kf.lm_ids[kp] = -1
+                elif other.num_observations() >= lm.num_observations():
+                    map_db.replace_landmark(lm, other, refresh=False)
+                    touched.append(other)
+                else:
+                    map_db.replace_landmark(other, lm, refresh=False)
                     touched.append(lm)
 
     # ------------------------------------------------------------------
@@ -666,17 +692,16 @@ class MappingModule:
             if i in map_db.keyframes and not map_db.keyframes[i].will_be_erased
         ][: K - 8]  # leave room for fixed keyframes
         local_set = set(local_ids)
-        # local landmarks
-        lm_ids = []
-        lm_seen = set()
-        for kf_id in local_ids:
-            kf = map_db.keyframes[kf_id]
-            for lm_id in kf.lm_ids:
-                if lm_id >= 0 and lm_id not in lm_seen:
-                    lm = map_db.landmarks.get(int(lm_id))
-                    if lm is not None and not lm.will_be_erased:
-                        lm_seen.add(int(lm_id))
-                        lm_ids.append(int(lm_id))
+        # local landmarks: stable-unique over the stacked association arrays
+        # (first-occurrence order keeps the center keyframe's landmarks first
+        # under truncation), liveness via the field store
+        from stella_vslam_tpu.data.map_database import stable_unique
+
+        cat = np.concatenate(
+            [map_db.keyframes[k].lm_ids for k in local_ids]
+        ) if local_ids else np.zeros(0, np.int64)
+        cat = cat[cat >= 0]
+        lm_ids = map_db.fields.live(stable_unique(cat))
         if len(lm_ids) < 8 or len(local_ids) < 2:
             return None, None, None, None, None
         # marker corner rows that will be appended after the landmark rows
@@ -687,15 +712,21 @@ class MappingModule:
         # smallest compiled bucket that fits; the largest bucket truncates
         L = next((b for b in self.BA_L_BUCKETS
                   if len(lm_ids) + n_marker_rows <= b), self.ba_L)
-        lm_ids = lm_ids[: L - n_marker_rows if n_marker_rows else L]
-        # fixed keyframes: other observers
+        lm_ids = [int(i) for i in
+                  lm_ids[: L - n_marker_rows if n_marker_rows else L]]
+        # fixed keyframes: other observers of the local landmarks, strongest
+        # first — one native covis_counts call instead of a Python loop over
+        # every landmark's observation dict
+        obs_kf, cnt = map_db.assoc_store.covis_counts(
+            np.asarray(lm_ids, np.int64), -1)
         fixed_ids = []
-        for lm_id in lm_ids:
-            lm = map_db.landmarks[lm_id]
-            for kf_id in lm.observations:
-                if kf_id not in local_set and kf_id not in fixed_ids:
-                    fixed_ids.append(kf_id)
-        fixed_ids = fixed_ids[: K - len(local_ids)]
+        budget = K - len(local_ids)
+        for i in np.argsort(-cnt):
+            k = int(obs_kf[i])
+            if k not in local_set:
+                fixed_ids.append(k)
+                if len(fixed_ids) >= budget:
+                    break
         kf_slots = local_ids + fixed_ids
         slot_of = {kf_id: s for s, kf_id in enumerate(kf_slots)}
 
@@ -720,31 +751,18 @@ class MappingModule:
 
         lm_pos = np.zeros((L, 3), np.float32)
         lm_valid = np.zeros(L, bool)
-        for l, lm_id in enumerate(lm_ids):
-            lm_pos[l] = map_db.landmarks[lm_id].pos_w
-            lm_valid[l] = True
+        nl = len(lm_ids)
+        lm_pos[:nl] = map_db.fields.pos[np.asarray(lm_ids, np.int64)]
+        lm_valid[:nl] = True
         # observation table assembled by the native map core (mapcore.cpp)
         lm_ids_arr = np.asarray(lm_ids + [-1] * (L - len(lm_ids)), np.int64)
         obs_cam, obs_idx, obs_valid = map_db.assoc_store.assemble_ba(
             lm_ids_arr, np.asarray(kf_slots, np.int64),
             np.arange(len(kf_slots), dtype=np.int32), D,
         )
-        obs_uv = np.zeros((L, D, 2), np.float32)
-        obs_xr = np.full((L, D), -1.0, np.float32)
-        obs_w = np.ones((L, D), np.float32)
         inv_sigma = np.asarray(self.orb_params.inv_level_sigma_sq, np.float32)
-        for s, kf_id in enumerate(kf_slots):
-            kf = map_db.keyframes.get(kf_id)
-            if kf is None:
-                obs_valid[obs_cam == s] = False
-                continue
-            rows, ds = np.nonzero((obs_cam == s) & obs_valid)
-            if len(rows) == 0:
-                continue
-            idxs = obs_idx[rows, ds]
-            obs_uv[rows, ds] = kf.h_undist_xy[idxs]
-            obs_xr[rows, ds] = kf.h_x_right[idxs]
-            obs_w[rows, ds] = inv_sigma[kf.h_level[idxs]]
+        obs_uv, obs_xr, obs_w = fill_observation_tables(
+            map_db, kf_slots, obs_cam, obs_idx, obs_valid, inv_sigma)
 
         # marker corner vertices: initialized (or fixed) markers observed by
         # keyframes in this problem contribute 4 extra point rows each with

@@ -90,7 +90,11 @@ class Initializer:
     INITIALIZING = 1
     SUCCEEDED = 2
 
-    def __init__(self, camera, orb_params, *, num_ransac_iters: int = 256,
+    # 1024 hypotheses: measured 6.2 ms vs 4.6 ms at 256 on-chip — near-free
+    # on the MXU, and at 45% inliers the 8-pt batch reaches 99%+ success vs
+    # ~85% for the reference's bounded 5-pt iterations
+    # (scripts/measure_ransac_8pt.py; PARITY.md §2.6)
+    def __init__(self, camera, orb_params, *, num_ransac_iters: int = 1024,
                  min_num_valid_pts: int = 50, min_num_triangulated_pts: int = 50,
                  parallax_deg_thr: float = 1.0, reproj_err_thr: float = 4.0,
                  use_fixed_seed: bool = False):

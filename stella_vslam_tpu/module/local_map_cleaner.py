@@ -66,31 +66,7 @@ class LocalMapCleaner:
         return removed
 
     def _count_redundant(self, map_db, kf):
-        num_valid = 0
-        num_redundant = 0
-        levels = kf.h_level
-        for idx, lm_id in enumerate(kf.lm_ids):
-            if lm_id < 0:
-                continue
-            lm = map_db.landmarks.get(int(lm_id))
-            if lm is None or lm.will_be_erased:
-                continue
-            # stereo-far points excluded in reference; mono slice: count all
-            num_valid += 1
-            if lm.num_observations() <= 3:
-                continue
-            scale_level = int(levels[idx])
-            num_better = 0
-            for other_id, other_idx in lm.observations.items():
-                if other_id == kf.id:
-                    continue
-                other = map_db.keyframes.get(other_id)
-                if other is None:
-                    continue
-                if int(other.h_level[other_idx]) <= scale_level + 1:
-                    num_better += 1
-                    if num_better >= 3:
-                        break
-            if num_better >= 3:
-                num_redundant += 1
-        return num_valid, num_redundant
+        # native map core: one call over the slot arrays instead of a Python
+        # double loop (slots x observations) — reference semantics preserved
+        # (local_map_cleaner.cc:68-123; stereo-far exclusion N/A, mono slice)
+        return map_db.assoc_store.count_redundant(kf.id, kf.lm_ids, kf.h_level)

@@ -98,6 +98,19 @@ class AssocStore:
     def erase_keyframe_data(self, kf_id: int):
         self._lib.store_erase_keyframe_data(self._h, kf_id)
 
+    def count_redundant(self, kf_id: int, lm_ids: np.ndarray,
+                        levels: np.ndarray):
+        """(num_valid, num_redundant) for keyframe culling
+        (reference local_map_cleaner.cc:68-123)."""
+        lm_ids = np.ascontiguousarray(lm_ids, np.int64)
+        levels = np.ascontiguousarray(levels, np.int32)
+        out = (ctypes.c_int32(0), ctypes.c_int32(0))
+        self._lib.store_count_redundant(
+            self._h, kf_id, _p64(lm_ids), _p32(levels), len(lm_ids),
+            ctypes.byref(out[0]), ctypes.byref(out[1]),
+        )
+        return out[0].value, out[1].value
+
     def batch_landmark_refresh(self, lm_ids, lm_pos, ref_kf_ids, kf_ids,
                                kf_centers, scale_factors):
         """Batched representative-descriptor + mean-normal + scale-range

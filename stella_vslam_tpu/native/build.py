@@ -64,6 +64,10 @@ def load_mapcore() -> ctypes.CDLL:
         c.c_int32,
     ]
     lib.store_erase_keyframe_data.argtypes = [c.c_void_p, c.c_int64]
+    lib.store_count_redundant.argtypes = [
+        c.c_void_p, c.c_int64, c.POINTER(c.c_int64), c.POINTER(c.c_int32),
+        c.c_int32, c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+    ]
     _dp = c.POINTER(c.c_double)
     lib.store_batch_landmark_refresh.argtypes = [
         c.c_void_p, c.POINTER(c.c_int64), c.c_int32, _dp,
