@@ -79,6 +79,22 @@ void store_add_obs(void* s, int64_t lm_id, int64_t kf_id, int32_t idx) {
     v.push_back({kf_id, idx});
 }
 
+// bulk observation insert: one call per keyframe event instead of one per
+// observation (the mapper's triangulation apply and the tracker's keyframe
+// insert add hundreds at a time; ctypes per-call overhead dominated)
+void store_add_obs_bulk(void* s, const int64_t* lm_ids, const int64_t* kf_ids,
+                        const int32_t* idxs, int64_t n) {
+    auto& m = static_cast<Store*>(s)->obs;
+    for (int64_t i = 0; i < n; ++i) {
+        auto& v = m[lm_ids[i]];
+        bool found = false;
+        for (auto& o : v) {
+            if (o.kf_id == kf_ids[i]) { o.idx = idxs[i]; found = true; break; }
+        }
+        if (!found) v.push_back({kf_ids[i], idxs[i]});
+    }
+}
+
 // returns the keypoint index that was erased, or -1
 int32_t store_erase_obs(void* s, int64_t lm_id, int64_t kf_id) {
     auto& m = static_cast<Store*>(s)->obs;

@@ -56,7 +56,8 @@ class MappingModule:
         # common case early in a sequence) run in a small compiled variant —
         # measured on-chip: 254 ms at L=8192 vs ~95 ms at L=2048 for the
         # full 15-iteration schedule. Every bucket is compiled at warmup.
-        self.BA_L_BUCKETS = tuple(sorted({min(2048, ba_L), ba_L}))
+        self.BA_L_BUCKETS = tuple(sorted(
+            {min(2048, ba_L), min(4096, ba_L), ba_L}))
         self.enable_local_ba = enable_local_ba
 
         self._queue: "queue.Queue[Keyframe]" = queue.Queue()
@@ -397,9 +398,16 @@ class MappingModule:
                 lms = map_db.bulk_add_landmarks(ids, pos_all[b][idxs], cur.id)
                 cur.lm_ids[idxs] = ids
                 other.lm_ids[oidx] = ids
-                for lm, fi, oi in zip(lms, idxs, oidx):
-                    lm.add_observation(cur.id, int(fi))
-                    lm.add_observation(other.id, int(oi))
+                # native bulk insert (one ctypes call), then the Python-dict
+                # mirrors as plain literals (the landmarks are brand new)
+                map_db.assoc_store.add_bulk(
+                    np.repeat(ids, 2),
+                    np.tile(np.array([cur.id, other.id], np.int64), len(ids)),
+                    np.stack([idxs, oidx], axis=1).ravel(),
+                )
+                cid, oid = cur.id, other.id
+                for lm, fi, oi in zip(lms, idxs.tolist(), oidx.tolist()):
+                    lm.observations = {cid: fi, oid: oi}
                 self.cleaner.fresh_landmark_ids.extend(ids.tolist())
                 new_lms.extend(lms)
             map_db.batch_refresh_landmark_stats(
@@ -566,6 +574,7 @@ class MappingModule:
             existing = kf.lm_ids[kps]
             addm = existing < 0
             repm = (existing >= 0) & (existing != cand)
+            add_lm, add_kp = [], []
             for lm_id, kp in zip(cand[addm].tolist(), kps[addm].tolist()):
                 lm = map_db.landmarks.get(lm_id)
                 if lm is None or lm.will_be_erased or kf.id in lm.observations:
@@ -573,9 +582,17 @@ class MappingModule:
                     # would orphan that slot (fuse.cc detect_duplication
                     # is_observed_in_keyframe guard)
                     continue
-                lm.add_observation(kf.id, kp)
+                lm.observations[kf.id] = kp
                 kf.add_landmark(lm_id, kp)
                 touched.append(lm)
+                add_lm.append(lm_id)
+                add_kp.append(kp)
+            if add_lm:
+                # native store fed with one bulk call per chunk
+                map_db.assoc_store.add_bulk(
+                    np.asarray(add_lm, np.int64),
+                    np.full(len(add_lm), kf.id, np.int64),
+                    np.asarray(add_kp, np.int32))
             for lm_id, kp, ex in zip(cand[repm].tolist(), kps[repm].tolist(),
                                      existing[repm].tolist()):
                 lm = map_db.landmarks.get(lm_id)
@@ -599,11 +616,16 @@ class MappingModule:
         keyframe arrives (mapping_module.cc:199-208, force_stop_flag) — here
         the BA device program always runs to completion (it is short:
         gain-terminated LM) and only the WRITEBACK is deferred."""
+        t0 = time.monotonic()
         prob, lm_ids, kf_slots, marker_rows, host = self._assemble_local_ba(cur)
         if prob is None:
             return
+        t1 = time.monotonic()
         cam = make_cam_scalars(self.camera)
         res = ba_mod.bundle_adjust(prob, cam, model=self.camera.model.name.lower())
+        _log.debug("kf %d ba: assemble=%.0f dispatch=%.0f ms (L=%d)", cur.id,
+                   (t1 - t0) * 1e3, (time.monotonic() - t1) * 1e3,
+                   res.lm_pos.shape[0])
         self._pending_ba = {
             "res": res, "lm_ids": lm_ids, "kf_slots": kf_slots,
             "marker_rows": marker_rows, "host": host, "center": cur.id,

@@ -85,25 +85,40 @@ class KeyframeInserter:
 
     # ------------------------------------------------------------------
     def insert_new_keyframe(self, map_db, cur_frm: Frame) -> Keyframe:
+        import logging
+        import time as _time
+        _log = logging.getLogger(__name__)
+        _t = [_time.monotonic()]
         kf = Keyframe(cur_frm, map_db)
         # register existing associations (one slot per landmark: a duplicate
         # slot would leave an orphan kf.lm_ids entry with no matching
-        # landmark observation, corrupting covisibility counting)
-        seen = set()
-        for idx, lm_id in enumerate(kf.lm_ids):
-            if lm_id < 0:
-                continue
-            lm = map_db.landmarks.get(int(lm_id))
-            if lm is None or lm.will_be_erased or int(lm_id) in seen:
-                kf.lm_ids[idx] = -1
-                continue
-            seen.add(int(lm_id))
-            lm.add_observation(kf.id, idx)
+        # landmark observation, corrupting covisibility counting).
+        # Liveness/dedup vectorized; native store fed with ONE bulk call.
+        lm_ids = kf.lm_ids
+        occ = np.nonzero(lm_ids >= 0)[0]
+        alive = map_db.fields.alive[lm_ids[occ]]
+        _, first = np.unique(lm_ids[occ], return_index=True)
+        keep_mask = np.zeros(len(occ), bool)
+        keep_mask[first] = True
+        keep_mask &= alive
+        lm_ids[occ[~keep_mask]] = -1
+        kept = occ[keep_mask]
+        kept_ids = lm_ids[kept]
+        map_db.assoc_store.add_bulk(
+            kept_ids, np.full(len(kept), kf.id, np.int64), kept)
+        kfid = kf.id
+        for lm_id, idx in zip(kept_ids.tolist(), kept.tolist()):
+            lm = map_db.landmarks.get(lm_id)
+            if lm is not None:
+                lm.observations[kfid] = idx
+        _t.append(_time.monotonic())
         map_db.add_keyframe(kf)
+        _t.append(_time.monotonic())
         map_db.batch_refresh_landmark_stats(
             [map_db.landmarks.get(int(i)) for i in kf.lm_ids if i >= 0],
             kf.orb_params.scale_factors,
         )
+        _t.append(_time.monotonic())
 
         # stereo/RGBD: seed landmarks from depth, nearest >= 100
         # (keyframe_inserter.cc:160-212)
@@ -114,8 +129,12 @@ class KeyframeInserter:
         if self.marker_hook is not None:
             self.marker_hook(map_db, kf, cur_frm)
         kf.graph_node.update_connections(map_db)
+        _t.append(_time.monotonic())
         if self.mapper is not None:
             self.mapper.async_add_keyframe(kf)
+        _log.debug(
+            "kf %d insert: obs=%.1f add=%.1f stats=%.1f conn=%.1f ms", kf.id,
+            *[(_t[i + 1] - _t[i]) * 1e3 for i in range(4)])
         return kf
 
     def _seed_depth_landmarks(self, map_db, kf: Keyframe):

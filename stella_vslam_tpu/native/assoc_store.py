@@ -42,6 +42,17 @@ class AssocStore:
     def add(self, lm_id: int, kf_id: int, idx: int):
         self._lib.store_add_obs(self._h, lm_id, kf_id, idx)
 
+    def add_bulk(self, lm_ids: np.ndarray, kf_ids: np.ndarray,
+                 idxs: np.ndarray):
+        """One native call for a batch of (landmark, keyframe, keypoint)
+        observations — the hot bulk paths (triangulation apply, keyframe
+        insert) add hundreds per event."""
+        lm_ids = np.ascontiguousarray(lm_ids, np.int64)
+        kf_ids = np.ascontiguousarray(kf_ids, np.int64)
+        idxs = np.ascontiguousarray(idxs, np.int32)
+        self._lib.store_add_obs_bulk(
+            self._h, _p64(lm_ids), _p64(kf_ids), _p32(idxs), len(lm_ids))
+
     def erase(self, lm_id: int, kf_id: int) -> int:
         return int(self._lib.store_erase_obs(self._h, lm_id, kf_id))
 

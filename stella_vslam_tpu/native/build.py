@@ -38,6 +38,10 @@ def load_mapcore() -> ctypes.CDLL:
     lib.store_destroy.argtypes = [c.c_void_p]
     lib.store_clear.argtypes = [c.c_void_p]
     lib.store_add_obs.argtypes = [c.c_void_p, c.c_int64, c.c_int64, c.c_int32]
+    lib.store_add_obs_bulk.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int64), c.POINTER(c.c_int64),
+        c.POINTER(c.c_int32), c.c_int64,
+    ]
     lib.store_erase_obs.argtypes = [c.c_void_p, c.c_int64, c.c_int64]
     lib.store_erase_obs.restype = c.c_int32
     lib.store_erase_landmark.argtypes = [c.c_void_p, c.c_int64]

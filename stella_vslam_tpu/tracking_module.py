@@ -46,6 +46,34 @@ STATE_TRACKING = "Tracking"
 STATE_LOST = "Lost"
 
 
+@jax.jit
+def _rebase_chain(la_pos, la_valid, la_id, tbl_ids, tbl_pos, A_R, A_t,
+                  R_last, t_last, R_prev, t_prev):
+    """Re-sync the device-chained tracking state with a freshly published
+    landmark table WITHOUT draining the dispatch pipeline.
+
+    Landmark side: chained association positions are re-gathered from the
+    new table by landmark id; ids absent from the new covisibility-local
+    table are INVALIDATED — they were culled, replaced by fusion, or fell
+    out of the local window, and carrying their stale positions forward
+    degrades every subsequent pose (the host resync drops them the same
+    way). Pose side: the chained cam-from-world poses are re-anchored by
+    the reference keyframe's own correction A = inv(T_ref_old_cw) @
+    T_ref_new_cw, i.e. T_new = T_old @ A — exactly the reference's
+    update_last_frame re-anchoring (tracking_module.cc:433) on device."""
+    eq = la_id[:, None] == tbl_ids[None, :]  # [N, C]
+    found = eq.any(axis=1) & (la_id >= 0)
+    row = jnp.argmax(eq, axis=1)
+    new_pos = jnp.where(found[:, None], tbl_pos[row], la_pos)
+    new_valid = la_valid & found
+    new_id = jnp.where(found, la_id, -1)
+    R_l = R_last @ A_R
+    t_l = R_last @ A_t + t_last
+    R_p = R_prev @ A_R
+    t_p = R_prev @ A_t + t_prev
+    return new_pos, new_valid, new_id, R_l, t_l, R_p, t_p
+
+
 class _Pending:
     __slots__ = ("frm", "out", "last_frm", "tbl_ids", "host_packed",
                  "fetched", "t_dispatch")
@@ -76,8 +104,9 @@ class _ResultFetcher:
     with the tracking thread's dispatch of subsequent frames (jax releases
     the GIL while waiting)."""
 
-    def __init__(self):
+    def __init__(self, batch_size: int = 8):
         self._pool = None
+        self.batch_size = batch_size
 
     def submit_batch(self, ps):
         import threading
@@ -87,7 +116,15 @@ class _ResultFetcher:
             import concurrent.futures as _cf
             self._pool = _cf.ThreadPoolExecutor(
                 max_workers=3, thread_name_prefix="track-fetch")
-        stacked = jnp.stack([p.out.packed for p in ps])
+        # pad partial batches to ONE fixed stack width: every distinct K
+        # would otherwise compile its own stack program, and on the tunneled
+        # backend a cold mid-run compile stalls the device pipeline for
+        # seconds (a partial flush size can first occur minutes into a run)
+        outs = [p.out.packed for p in ps]
+        K = self.batch_size
+        if len(outs) < K:
+            outs = outs + [outs[-1]] * (K - len(outs))
+        stacked = jnp.stack(outs)
         try:
             stacked.copy_to_host_async()
         except Exception:
@@ -155,7 +192,11 @@ class TrackingModule:
         # swept on-chip: batch 8 gives mean 9.7 ms/frame (4 -> 11.2, 16 ->
         # rare half-second stalls from over-buffering)
         self.fetch_batch = int(os.environ.get("SVT_FETCH_BATCH", "8"))
-        self.max_inflight = int(os.environ.get("SVT_MAX_INFLIGHT", "40"))
+        # two fetch batches keep the tunnel round trips fully pipelined;
+        # anything deeper only grows the device queue the mapper's keyframe
+        # event round trips must wait behind (measured: depth 40 pushed the
+        # mapper's grouped fetch from ~80 ms to 200-300 ms per event)
+        self.max_inflight = int(os.environ.get("SVT_MAX_INFLIGHT", "16"))
         # lag bound in TIME: keyframe decisions happen at finalize, so the
         # oldest in-flight frame caps how stale the map can get. A pure
         # frame-count bound scales badly with FPS (40 frames at 100 FPS is
@@ -168,7 +209,7 @@ class TrackingModule:
         # (bounds finalize lag for slow real-time feeds, where a batch would
         # otherwise take fetch_batch camera periods to fill)
         self._batch = []  # dispatched frames not yet submitted for fetch
-        self._fetcher = _ResultFetcher()
+        self._fetcher = _ResultFetcher(self.fetch_batch)
         # RLock so the finalize thread's bookkeeping (which may reset() on
         # loss) and nested finalize_pending() calls re-enter safely;
         # Condition.wait releases recursive holds in full
@@ -192,6 +233,7 @@ class TrackingModule:
         # the chain is re-anchored from the map before the next dispatch
         # (reference update_last_frame, tracking_module.cc:433)
         self._chain_tbl_version = None
+        self._chain_anchor = None  # (ref_kf_id, pose_cw) for _try_rebase_chain
         self._last_rel = None  # last frame's rel pose to its ref keyframe
         self._prev_host_pose = None  # host pose of frame t-2
         # reference-keyframe device association arrays
@@ -274,6 +316,17 @@ class TrackingModule:
                 ))
         for out in outs:
             jax.block_until_ready(out.R_cw)
+        # the chain-rebase program fires at the FIRST table publish (right
+        # after init) — compile it now, not mid-run
+        reb = _rebase_chain(
+            f32(N, 3), bl(N), jnp.full(N, -1, jnp.int32),
+            jnp.full(C, -1, jnp.int32), f32(C, 3),
+            eye, f32(3), eye, f32(3), eye, f32(3),
+        )
+        jax.block_until_ready(reb[0])
+        # the result-fetcher's fixed-width stack program
+        jax.block_until_ready(
+            jnp.stack([outs[0].packed] * self.fetch_batch))
 
     def join_warm_threads(self, timeout: float = 60.0):
         deadline = _time.time() + timeout
@@ -355,22 +408,26 @@ class TrackingModule:
         ):
             # The mapper published a new device table (keyframe event: local
             # BA moved landmarks/keyframes, fusion replaced some). The chained
-            # device state still references pre-update positions, and the
-            # resync in _dispatch can only re-anchor against finalized host
-            # poses — so drain the pipeline first. One bubble per keyframe
-            # event (~every 10-30 frames); without it the async pipeline is
-            # never empty and the chain drifts away from the optimized map
-            # until tracking is lost (the reference instead re-reads the map
-            # under its mutex every frame, tracking_module.cc:193).
-            t0 = _time.monotonic()
-            self._flush_batch()
-            while self._pending:
-                self._finalize_one()
-            _log.debug("drain bubble frame %d: %.1f ms", frm.id,
-                       (_time.monotonic() - t0) * 1e3)
-            if self.state != STATE_TRACKING:
-                # drained frames flipped the state (lost/reset)
-                return self._feed_frame_locked(frm)
+            # device state still references pre-update positions. Fast path:
+            # rebase the chain ON DEVICE (_rebase_chain) — re-gather chained
+            # landmark positions from the new table by id and re-anchor the
+            # chained poses by the reference keyframe's own correction — so
+            # the pipeline keeps flowing. Fallback (no usable anchor): drain
+            # and let _dispatch's host-side resync re-anchor against
+            # finalized poses. Without either, the chain drifts away from
+            # the optimized map until tracking is lost (the reference
+            # re-reads the map under its mutex every frame,
+            # tracking_module.cc:193).
+            if not self._try_rebase_chain(tbl.snap):
+                t0 = _time.monotonic()
+                self._flush_batch()
+                while self._pending:
+                    self._finalize_one()
+                _log.debug("drain bubble frame %d: %.1f ms", frm.id,
+                           (_time.monotonic() - t0) * 1e3)
+                if self.state != STATE_TRACKING:
+                    # drained frames flipped the state (lost/reset)
+                    return self._feed_frame_locked(frm)
         self._dispatch(frm)
         if self.synchronous:
             self._flush_batch()
@@ -483,6 +540,11 @@ class TrackingModule:
             # post-BA map (reference update_last_frame, tracking_module.cc:433)
             self._resync_chain_with_map(last)
         self._chain_tbl_version = tbl.version
+        # anchor for the on-device rebase at the next table publish: the
+        # reference keyframe's pose in the chain's CURRENT coordinates (host
+        # keyframe poses only change at a BA writeback, which always bumps
+        # the table version before the next dispatch reads it)
+        self._chain_anchor = (self.ref_keyfrm_id, ref_kf.pose_cw.copy())
         if self._kf_for_assoc is not ref_kf:
             self._refresh_kf_assoc(ref_kf)
         margin = (
@@ -692,6 +754,39 @@ class TrackingModule:
         self._dev_pose_prev = None
         self._last_rel = None
         self._prev_host_pose = None
+        self._chain_anchor = None
+
+    # ------------------------------------------------------------------
+    def _try_rebase_chain(self, snap) -> bool:
+        """On-device chain rebase at a table publish (see _rebase_chain).
+        Returns False when there is no usable anchor (chain/pose state
+        missing, or the anchor keyframe was culled) — the caller then falls
+        back to the drain + host resync path."""
+        anchor = self._chain_anchor
+        if (anchor is None or self._last_assoc_pos is None
+                or self._dev_pose is None or self._dev_pose_prev is None):
+            return False
+        kf_id, old_pose = anchor
+        kf = self.map_db.keyframes.get(kf_id)
+        if kf is None or kf.will_be_erased:
+            return False
+        A = np.linalg.inv(old_pose) @ kf.pose_cw
+        new_pos, new_valid, new_id, R_l, t_l, R_p, t_p = _rebase_chain(
+            self._last_assoc_pos, self._last_assoc_valid,
+            self._last_assoc_id, snap.ids_dev, snap.pos,
+            jnp.asarray(A[:3, :3], dtype=jnp.float32),
+            jnp.asarray(A[:3, 3], dtype=jnp.float32),
+            *self._dev_pose, *self._dev_pose_prev,
+        )
+        self._last_assoc_pos = new_pos
+        self._last_assoc_valid = new_valid
+        self._last_assoc_id = new_id
+        self._dev_pose = (R_l, t_l)
+        self._dev_pose_prev = (R_p, t_p)
+        # ref-keyframe association positions moved too: force a host rebuild
+        # at this dispatch (vectorized via the field store)
+        self._kf_for_assoc = None
+        return True
 
     # ------------------------------------------------------------------
     def _resync_chain_with_map(self, last: Frame):
@@ -752,17 +847,20 @@ class TrackingModule:
         self._chain_tbl_version = self.map_db.device_table.version
 
     def _refresh_kf_assoc(self, kf: Keyframe):
+        # vectorized over the association array via the landmark field store
+        # (liveness + positions with one fancy index each)
         n = kf.num_slots
         pos = np.zeros((n, 3), np.float32)
         has = np.zeros(n, bool)
         ids = np.full(n, -1, np.int32)
-        for i in np.nonzero(kf.lm_ids >= 0)[0]:
-            lm = self.map_db.landmarks.get(int(kf.lm_ids[i]))
-            if lm is None or lm.will_be_erased:
-                continue
-            pos[i] = lm.pos_w
-            has[i] = True
-            ids[i] = lm.id
+        fs = self.map_db.fields
+        lm_ids = kf.lm_ids
+        occ = lm_ids >= 0
+        alive = np.zeros(n, bool)
+        alive[occ] = fs.alive[lm_ids[occ]]
+        pos[alive] = fs.pos[lm_ids[alive]]
+        has[alive] = True
+        ids[alive] = lm_ids[alive]
         self._kf_assoc_pos = jnp.asarray(pos)
         self._kf_assoc_valid = jnp.asarray(has)
         self._kf_assoc_id = jnp.asarray(ids)
@@ -783,6 +881,7 @@ class TrackingModule:
         self._dev_pose = None
         self._dev_pose_prev = None
         self._chain_tbl_version = None
+        self._chain_anchor = None
         self._last_rel = None
         self._prev_host_pose = None
         self.map_db.clear()
