@@ -80,6 +80,10 @@ def main():
     aligned, _ = umeyama_align(np.asarray(est), np.asarray(gt))
     ate = float(np.sqrt(np.mean(np.sum((aligned - np.asarray(gt)) ** 2, 1))))
     assert ate < 0.05, f"ATE RMSE {ate:.4f} m exceeds 0.05 m bound"
+    if os.environ.get("BENCH_DUMP"):
+        slow = [(i, round(t * 1e3, 1)) for i, t in enumerate(frame_times)
+                if t > 0.012 and i >= 30]
+        sys.stderr.write(f"slow frames (>12 ms): {slow}\n")
     sys.stderr.write(
         f"tracked {tracked}/{n_frames} frames (all {tracked_after_init} after "
         f"init), ATE {ate*1000:.1f} mm, kfs={slam.map_db.num_keyframes()}, "

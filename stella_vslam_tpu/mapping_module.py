@@ -58,6 +58,17 @@ class MappingModule:
         # full 15-iteration schedule. Every bucket is compiled at warmup.
         self.BA_L_BUCKETS = tuple(sorted(
             {min(2048, ba_L), min(4096, ba_L), ba_L}))
+        # camera-capacity buckets: early maps have far fewer than ba_K
+        # keyframes, and the BA program's [L,D,K] one-hot and [L,K,6,3]
+        # Schur tensors scale linearly (S quadratically) with K — a K=16
+        # variant runs the same problem in a fraction of the device time,
+        # which matters because local-BA device time serializes with the
+        # tracker's per-frame programs on one chip
+        self.BA_K_BUCKETS = tuple(sorted({min(16, ba_K), ba_K}))
+        # (K, L) shape pairs compiled at warmup — assembly only picks
+        # combinations from this set (anything else would hit a multi-second
+        # cold compile mid-run)
+        self._ba_shapes = set()
         self.enable_local_ba = enable_local_ba
 
         self._queue: "queue.Queue[Keyframe]" = queue.Queue()
@@ -116,21 +127,27 @@ class MappingModule:
             margin=3.0,
         )
         jax.block_until_ready(out[0])
-        K, D = self.ba_K, self.ba_D
-        for L in self.BA_L_BUCKETS:
-            prob = ba_mod.BAProblem(
-                cam_R=jnp.tile(eye[None], (K, 1, 1)), cam_t=f32(K, 3),
-                cam_fixed=bl(K), cam_valid=bl(K),
-                lm_pos=f32(L, 3), lm_valid=bl(L),
-                obs_cam=i32(L, D), obs_uv=f32(L, D, 2),
-                obs_x_right=f32(L, D), obs_inv_sigma_sq=f32(L, D),
-                obs_valid=bl(L, D), lm_fixed=bl(L), lm_keep_inlier=bl(L),
-            )
-            res = ba_mod.bundle_adjust(
-                prob, make_cam_scalars(self.camera),
-                model=self.camera.model.name.lower(),
-            )
-            jax.block_until_ready(res.cost)
+        D = self.ba_D
+        for K in self.BA_K_BUCKETS:
+            for L in self.BA_L_BUCKETS:
+                if K < self.ba_K and L == self.ba_L and self.ba_L > 4096:
+                    # a map small enough for the small-K bucket never needs
+                    # the largest landmark bucket — skip that compile
+                    continue
+                prob = ba_mod.BAProblem(
+                    cam_R=jnp.tile(eye[None], (K, 1, 1)), cam_t=f32(K, 3),
+                    cam_fixed=bl(K), cam_valid=bl(K),
+                    lm_pos=f32(L, 3), lm_valid=bl(L),
+                    obs_cam=i32(L, D), obs_uv=f32(L, D, 2),
+                    obs_x_right=f32(L, D), obs_inv_sigma_sq=f32(L, D),
+                    obs_valid=bl(L, D), lm_fixed=bl(L), lm_keep_inlier=bl(L),
+                )
+                res = ba_mod.bundle_adjust(
+                    prob, make_cam_scalars(self.camera),
+                    model=self.camera.model.name.lower(),
+                )
+                jax.block_until_ready(res.cost)
+                self._ba_shapes.add((K, L))
         if self.bow_db is not None:
             # the BoW tree-descent program otherwise compiles at the FIRST
             # keyframe event (measured 520 ms mid-run)
@@ -643,12 +660,14 @@ class MappingModule:
         map_db = self.map_db
         if p["epoch"] != map_db.epoch:  # cheap unlocked fast path
             return False
+        _t0 = time.monotonic()
         lm_ids, kf_slots, host = p["lm_ids"], p["kf_slots"], p["host"]
         marker_rows, res = p["marker_rows"], p["res"]
         # grouped fetch: one overlapped round trip instead of four; the
         # problem inputs stay host-side in `host` (never fetch back uploads)
         camR, camt, lm_new, outlier = fetch_all(
             res.cam_R, res.cam_t, res.lm_pos, res.obs_is_outlier)
+        _t1 = time.monotonic()
         obs_cam = host["obs_cam"]
         obs_valid = host["obs_valid"]
         cam_fixed_h = host["cam_fixed"]
@@ -701,7 +720,11 @@ class MappingModule:
                     mk.corners_world[ci] = lm_new[row].astype(np.float64)
         # the deferred publish: tracking sees the keyframe event's whole
         # effect (new landmarks + fusion + BA) as ONE table version bump
+        _t2 = time.monotonic()
         map_db.refresh_device_table(center_kf_id=p["center"])
+        _log.debug("kf %d ba writeback: fetch=%.0f write=%.0f publish=%.0f ms",
+                   p["center"], (_t1 - _t0) * 1e3, (_t2 - _t1) * 1e3,
+                   (time.monotonic() - _t2) * 1e3)
         return True
 
     def _assemble_local_ba(self, cur: Keyframe):
@@ -751,6 +774,11 @@ class MappingModule:
                     break
         kf_slots = local_ids + fixed_ids
         slot_of = {kf_id: s for s, kf_id in enumerate(kf_slots)}
+        # smallest compiled camera bucket that fits this problem (early maps
+        # run the K=16 variant in a fraction of the device time)
+        K = next((b for b in self.BA_K_BUCKETS
+                  if len(kf_slots) <= b and (b, L) in self._ba_shapes),
+                 self.ba_K)
 
         cam_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
         cam_t = np.zeros((K, 3), np.float32)
