@@ -122,6 +122,20 @@ int32_t store_num_obs(void* s, int64_t lm_id) {
     return it == m.end() ? 0 : static_cast<int32_t>(it->second.size());
 }
 
+// observation counts for a batch of landmark ids (-1 entries -> 0). One
+// ctypes call instead of a Python dict lookup per tracked landmark — the
+// tracker's per-frame reliable-landmark count walks ~300 ids EVERY frame
+// (reference tracking_module.cc:143-148).
+void store_num_obs_bulk(void* s, const int64_t* lm_ids, int32_t n,
+                        int32_t* out_counts) {
+    auto& m = static_cast<Store*>(s)->obs;
+    for (int32_t i = 0; i < n; ++i) {
+        if (lm_ids[i] < 0) { out_counts[i] = 0; continue; }
+        auto it = m.find(lm_ids[i]);
+        out_counts[i] = it == m.end() ? 0 : (int32_t)it->second.size();
+    }
+}
+
 // fills out_kf (cap) and out_idx with the observations of lm_id; returns count
 int32_t store_get_obs(void* s, int64_t lm_id, int64_t* out_kf,
                       int32_t* out_idx, int32_t cap) {

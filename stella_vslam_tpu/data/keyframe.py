@@ -112,6 +112,11 @@ class Keyframe:
         self.graph_node = GraphNode(self, map_db.min_num_shared_lms)
         self.will_be_erased = False
         self._not_to_be_erased = False
+        # monotone pose-mutation counter: lets a lock-free reader detect
+        # whether this keyframe's pose has been touched since creation (the
+        # tracking thread's chain-anchor capture, tracking_module._dispatch)
+        self.pose_version = 0
+        self._pose_version_at_creation = 0
 
     # host mirrors delegate to the frame cache
     @property
@@ -152,7 +157,10 @@ class Keyframe:
 
     # ---- pose ----
     def set_pose_cw(self, pose_cw: np.ndarray):
+        # rebinds (never mutates in place): anyone holding the previous
+        # array — e.g. a TableSnap's kf_poses — keeps a true snapshot
         self.pose_cw = np.asarray(pose_cw, dtype=np.float64).copy()
+        self.pose_version += 1
 
     @property
     def rot_cw(self):
@@ -184,14 +192,10 @@ class Keyframe:
         return self.lm_ids[self.lm_ids >= 0]
 
     def num_tracked_landmarks(self, map_db, min_num_obs: int = 1) -> int:
-        cnt = 0
-        for lm_id in self.lm_ids:
-            if lm_id < 0:
-                continue
-            lm = map_db.landmarks.get(int(lm_id))
-            if lm and not lm.will_be_erased and lm.num_observations() >= min_num_obs:
-                cnt += 1
-        return cnt
+        # one native bulk-count call (erased landmarks count 0 in the store);
+        # this runs in the keyframe-need decision on EVERY finalized frame
+        counts = map_db.assoc_store.num_obs_bulk(self.lm_ids)
+        return int((counts >= max(min_num_obs, 1)).sum())
 
     def compute_median_depth(self, map_db, use_abs: bool = False) -> float:
         """Median z (camera frame) of associated landmarks

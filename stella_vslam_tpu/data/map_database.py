@@ -153,6 +153,14 @@ class TableSnap(NamedTuple):
     max_dist: jax.Array  # [C]
     valid: jax.Array  # [C] bool
     track_valid: jax.Array  # [C] bool
+    # keyframe poses AS OF this publish (id -> 4x4 pose_cw array reference;
+    # set_pose_cw rebinds rather than mutating, so these are true snapshots).
+    # The tracking thread's chain rebase computes its re-anchoring transform
+    # A = inv(pose@old_snap) @ pose@new_snap from these — reading live
+    # keyframe poses instead would race the mapper's separate
+    # pose-writeback / table-publish lock acquisitions (a dispatch landing
+    # between them would pair a post-BA pose with a pre-BA version).
+    kf_poses: dict
 
 
 class DeviceLandmarkTable:
@@ -251,6 +259,13 @@ class DeviceLandmarkTable:
         ids[:n] = sel
         self.count = n
         self.version += 1
+        # pose snapshot of every live keyframe, coherent with this version
+        # (the caller holds map_db.lock; pose arrays are rebound on write so
+        # holding references is snapshot-safe)
+        kf_poses = {
+            kf_id: kf.pose_cw
+            for kf_id, kf in map_db.keyframes.items() if not kf.will_be_erased
+        }
         valid_dev = jax.device_put(valid)
         # rows visible to the tracking thread's local-map sweep (the table IS
         # the local map now; kept as a separate field for API clarity).
@@ -269,6 +284,7 @@ class DeviceLandmarkTable:
             max_dist=jax.device_put(dmax),
             valid=valid_dev,
             track_valid=valid_dev,
+            kf_poses=kf_poses,
         )
 
 

@@ -7,12 +7,17 @@ stereo/RGBD (cc:160-212) and enqueues to the mapper (cc:218-231).
 """
 from __future__ import annotations
 
+import logging
+import time as _time
+
 import numpy as np
 
 from stella_vslam_tpu.camera.base import Setup
 from stella_vslam_tpu.data.frame import Frame
 from stella_vslam_tpu.data.keyframe import Keyframe
 from stella_vslam_tpu.data.landmark import Landmark
+
+_log = logging.getLogger(__name__)
 
 
 class KeyframeInserter:
@@ -85,10 +90,8 @@ class KeyframeInserter:
 
     # ------------------------------------------------------------------
     def insert_new_keyframe(self, map_db, cur_frm: Frame) -> Keyframe:
-        import logging
-        import time as _time
-        _log = logging.getLogger(__name__)
-        _t = [_time.monotonic()]
+        timing = _log.isEnabledFor(logging.DEBUG)
+        _t = [_time.monotonic()] if timing else None
         kf = Keyframe(cur_frm, map_db)
         # register existing associations (one slot per landmark: a duplicate
         # slot would leave an orphan kf.lm_ids entry with no matching
@@ -107,18 +110,30 @@ class KeyframeInserter:
         map_db.assoc_store.add_bulk(
             kept_ids, np.full(len(kept), kf.id, np.int64), kept)
         kfid = kf.id
+        dead = []
         for lm_id, idx in zip(kept_ids.tolist(), kept.tolist()):
             lm = map_db.landmarks.get(lm_id)
-            if lm is not None:
+            if lm is not None and not lm.will_be_erased:
                 lm.observations[kfid] = idx
-        _t.append(_time.monotonic())
+            else:
+                # erased by the mapper between the alive-snapshot read and
+                # the bulk insert: undo the native-store entry, or the store
+                # would carry a resurrected observation with no dict mirror
+                dead.append((lm_id, idx))
+        for lm_id, idx in dead:
+            map_db.assoc_store.erase(lm_id, kfid)
+            lm_ids[idx] = -1
+        if timing:
+            _t.append(_time.monotonic())
         map_db.add_keyframe(kf)
-        _t.append(_time.monotonic())
+        if timing:
+            _t.append(_time.monotonic())
         map_db.batch_refresh_landmark_stats(
             [map_db.landmarks.get(int(i)) for i in kf.lm_ids if i >= 0],
             kf.orb_params.scale_factors,
         )
-        _t.append(_time.monotonic())
+        if timing:
+            _t.append(_time.monotonic())
 
         # stereo/RGBD: seed landmarks from depth, nearest >= 100
         # (keyframe_inserter.cc:160-212)
@@ -129,12 +144,13 @@ class KeyframeInserter:
         if self.marker_hook is not None:
             self.marker_hook(map_db, kf, cur_frm)
         kf.graph_node.update_connections(map_db)
-        _t.append(_time.monotonic())
         if self.mapper is not None:
             self.mapper.async_add_keyframe(kf)
-        _log.debug(
-            "kf %d insert: obs=%.1f add=%.1f stats=%.1f conn=%.1f ms", kf.id,
-            *[(_t[i + 1] - _t[i]) * 1e3 for i in range(4)])
+        if timing:
+            _t.append(_time.monotonic())
+            _log.debug(
+                "kf %d insert: obs=%.1f add=%.1f stats=%.1f conn=%.1f ms",
+                kf.id, *[(_t[i + 1] - _t[i]) * 1e3 for i in range(4)])
         return kf
 
     def _seed_depth_landmarks(self, map_db, kf: Keyframe):

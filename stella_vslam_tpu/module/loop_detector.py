@@ -32,13 +32,21 @@ class LoopDetector:
                  num_final_matches_thr: int = 40,
                  min_continuity: int = 3,
                  use_fixed_seed: bool = False,
-                 fix_scale_in_Sim3_estimation: bool = False):
+                 fix_scale_in_Sim3_estimation: bool = False,
+                 reject_by_graph_distance: bool = False,
+                 min_distance_on_graph: int = 50):
         self.camera = camera
         self.orb = orb_params
         self.bow_db = bow_db
         self.num_final_matches_thr = num_final_matches_thr
         self.min_continuity = min_continuity
         self.fix_scale = fix_scale_in_Sim3_estimation
+        # optional candidate-rejection mode (loop_detector.cc:25-26, 89-114):
+        # default rejects the connected set; this mode instead rejects any
+        # candidate within min_distance_on_graph hops on the spanning tree +
+        # covisibility graph
+        self.reject_by_graph_distance = reject_by_graph_distance
+        self.min_distance_on_graph = min_distance_on_graph
         self.scale_factors = jnp.asarray(orb_params.scale_factors, dtype=jnp.float32)
         self.inv_sigma_sq = jnp.asarray(
             orb_params.inv_level_sigma_sq, dtype=jnp.float32)
@@ -65,7 +73,32 @@ class LoopDetector:
             v = self.bow_db.bow_vecs.get(kid)
             if v is not None:
                 min_score = min(min_score, self.bow_db.vocab.score(bow_cur, v))
-        reject = set(covis) | {cur_kf.id}
+        if not self.reject_by_graph_distance:
+            reject = set(covis) | {cur_kf.id}
+        else:
+            # graph-distance rejection (loop_detector.cc:93-127): walk the
+            # spanning tree (parent + children) and loop edges out to
+            # min_distance_on_graph hops; everything reached is too close to
+            # be a loop candidate
+            reject = {cur_kf.id}
+            targets = [(cur_kf.id, 0)]
+            while targets:
+                kid, dist = targets.pop()
+                if dist + 1 >= self.min_distance_on_graph:
+                    continue
+                kf = map_db.keyframes.get(kid)
+                if kf is None:
+                    continue
+                gn = kf.graph_node
+                neighbors = []
+                if gn.spanning_parent is not None:
+                    neighbors.append(gn.spanning_parent)
+                neighbors.extend(gn.loop_edges)
+                neighbors.extend(gn.spanning_children)
+                for nid in neighbors:
+                    if nid not in reject:
+                        reject.add(nid)
+                        targets.append((nid, dist + 1))
         cands = self.bow_db.acquire_keyframes(
             bow_cur, min_score=min_score, reject=reject,
             keyframes=map_db.keyframes,

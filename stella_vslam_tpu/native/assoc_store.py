@@ -62,6 +62,14 @@ class AssocStore:
     def num_obs(self, lm_id: int) -> int:
         return int(self._lib.store_num_obs(self._h, lm_id))
 
+    def num_obs_bulk(self, lm_ids: np.ndarray) -> np.ndarray:
+        """Observation counts for a batch of landmark ids (-1 -> 0)."""
+        lm_ids = np.ascontiguousarray(lm_ids, np.int64)
+        out = np.empty(len(lm_ids), np.int32)
+        self._lib.store_num_obs_bulk(self._h, _p64(lm_ids), len(lm_ids),
+                                     _p32(out))
+        return out
+
     def get_obs(self, lm_id: int, cap: int = 256):
         kf = np.empty(cap, np.int64)
         idx = np.empty(cap, np.int32)

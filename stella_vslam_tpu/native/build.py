@@ -47,6 +47,9 @@ def load_mapcore() -> ctypes.CDLL:
     lib.store_erase_landmark.argtypes = [c.c_void_p, c.c_int64]
     lib.store_num_obs.argtypes = [c.c_void_p, c.c_int64]
     lib.store_num_obs.restype = c.c_int32
+    lib.store_num_obs_bulk.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int64), c.c_int32, c.POINTER(c.c_int32),
+    ]
     lib.store_get_obs.argtypes = [
         c.c_void_p, c.c_int64, c.POINTER(c.c_int64), c.POINTER(c.c_int32), c.c_int32,
     ]

@@ -399,12 +399,16 @@ class TrackingModule:
         # is the same tracking-vs-mapping freshness race the reference's
         # 3-thread design has (system.cc:207-210), with the state machine
         # decisions lagging by the in-flight depth.
-        tbl = self.map_db.device_table
+        # ONE snapshot read per feed: the rebase below and the dispatch use
+        # the SAME snap, so the chain can never be stamped as synced to a
+        # version it was not rebased against (the mapper may publish again
+        # between these lines — the next feed picks that up)
+        snap = self.map_db.device_table.snap
         if (
             self._pending
             and self._chain_tbl_version is not None
-            and tbl.snap is not None
-            and tbl.snap.version != self._chain_tbl_version
+            and snap is not None
+            and snap.version != self._chain_tbl_version
         ):
             # The mapper published a new device table (keyframe event: local
             # BA moved landmarks/keyframes, fusion replaced some). The chained
@@ -418,7 +422,7 @@ class TrackingModule:
             # the optimized map until tracking is lost (the reference
             # re-reads the map under its mutex every frame,
             # tracking_module.cc:193).
-            if not self._try_rebase_chain(tbl.snap):
+            if not self._try_rebase_chain(snap):
                 t0 = _time.monotonic()
                 self._flush_batch()
                 while self._pending:
@@ -428,7 +432,8 @@ class TrackingModule:
                 if self.state != STATE_TRACKING:
                     # drained frames flipped the state (lost/reset)
                     return self._feed_frame_locked(frm)
-        self._dispatch(frm)
+                snap = self.map_db.device_table.snap
+        self._dispatch(frm, snap)
         if self.synchronous:
             self._flush_batch()
             while self._pending:
@@ -503,7 +508,7 @@ class TrackingModule:
                     self._cond.notify_all()
 
     # ------------------------------------------------------------------
-    def _dispatch(self, frm: Frame):
+    def _dispatch(self, frm: Frame, snap=None):
         last = self.last_frm
         k = self.kernels
         if self._dev_pose is None and last is not None and last.pose_cw is not None:
@@ -521,12 +526,15 @@ class TrackingModule:
             # no reference keyframe: cannot track
             self.state = STATE_LOST
             return
-        if self.map_db.device_table.snap is None:
-            self.map_db.refresh_device_table()
-        # ONE reference read: every table tensor this dispatch uses comes
-        # from this coherent snapshot (the mapper may publish a newer one
-        # concurrently — next dispatch picks it up)
-        tbl = self.map_db.device_table.snap
+        if snap is None:
+            if self.map_db.device_table.snap is None:
+                self.map_db.refresh_device_table()
+            snap = self.map_db.device_table.snap
+        # ONE coherent snapshot: every table tensor this dispatch uses — and
+        # the chain-version stamp and rebase anchor below — comes from the
+        # snap the caller rebased against (the mapper may publish a newer one
+        # concurrently; the next feed picks it up)
+        tbl = snap
         if (
             not self._pending
             and self._chain_tbl_version is not None
@@ -541,10 +549,24 @@ class TrackingModule:
             self._resync_chain_with_map(last)
         self._chain_tbl_version = tbl.version
         # anchor for the on-device rebase at the next table publish: the
-        # reference keyframe's pose in the chain's CURRENT coordinates (host
-        # keyframe poses only change at a BA writeback, which always bumps
-        # the table version before the next dispatch reads it)
-        self._chain_anchor = (self.ref_keyfrm_id, ref_kf.pose_cw.copy())
+        # reference keyframe's pose AS OF this snap's publish — the pose the
+        # chained coordinates are consistent with. Reading the live keyframe
+        # pose here would race the mapper (pose writeback and table publish
+        # are separate lock acquisitions: a dispatch between them would pair
+        # the post-BA pose with the pre-BA table, and the next rebase would
+        # then move landmarks without re-anchoring the poses).
+        anchor_pose = tbl.kf_poses.get(self.ref_keyfrm_id)
+        if anchor_pose is None:
+            # keyframe created after this publish: its pose is untouched
+            # since creation unless a writeback already moved it (the
+            # pose_version check detects that narrow window — fall back to
+            # the drain path at the next publish instead of anchoring wrong)
+            if ref_kf.pose_version == ref_kf._pose_version_at_creation:
+                anchor_pose = ref_kf.pose_cw
+        self._chain_anchor = (
+            (self.ref_keyfrm_id, anchor_pose) if anchor_pose is not None
+            else None
+        )
         if self._kf_for_assoc is not ref_kf:
             self._refresh_kf_assoc(ref_kf)
         margin = (
@@ -706,11 +728,10 @@ class TrackingModule:
             # reliable = tracked landmarks with >= min_num_obs_thr
             # observations (tracking_module.cc:143-144)
             min_obs = 3 if self.map_db.num_keyframes() >= 3 else 2
-            num_reliable = 0
-            for lm_id in frm.lm_ids[frm.lm_ids >= 0]:
-                lm = self.map_db.landmarks.get(int(lm_id))
-                if lm is not None and lm.num_observations() >= min_obs:
-                    num_reliable += 1
+            # one native bulk-count call instead of a Python dict lookup per
+            # tracked landmark (this runs on EVERY finalize)
+            counts = self.map_db.assoc_store.num_obs_bulk(frm.lm_ids)
+            num_reliable = int((counts >= min_obs).sum())
             t1 = _time.monotonic()
             if self.keyfrm_inserter.new_keyframe_is_needed(
                 self.map_db, frm, num_final, self.last_keyfrm_time, ref_kf,
@@ -761,16 +782,28 @@ class TrackingModule:
         """On-device chain rebase at a table publish (see _rebase_chain).
         Returns False when there is no usable anchor (chain/pose state
         missing, or the anchor keyframe was culled) — the caller then falls
-        back to the drain + host resync path."""
+        back to the drain + host resync path.
+
+        Pipelining staleness (accepted, by design): frames already in flight
+        at the publish were dispatched against the OLD table and finalize
+        with poses in pre-publish coordinates; their host poses feed the
+        twist, _last_rel, and keyframe decisions one keyframe event stale —
+        the same tracking-vs-mapping freshness race the reference's 3-thread
+        design has (its tracker may read the map an instant before local BA
+        writes it back). Only the DEVICE chain (which seeds future
+        dispatches) is re-anchored here."""
         anchor = self._chain_anchor
         if (anchor is None or self._last_assoc_pos is None
                 or self._dev_pose is None or self._dev_pose_prev is None):
             return False
         kf_id, old_pose = anchor
-        kf = self.map_db.keyframes.get(kf_id)
-        if kf is None or kf.will_be_erased:
+        # the anchor keyframe's pose AS OF the new publish (coherent with the
+        # landmark rows being gathered) — never the live pose, which may
+        # already carry the NEXT writeback
+        new_pose = snap.kf_poses.get(kf_id)
+        if new_pose is None:  # culled from the map since
             return False
-        A = np.linalg.inv(old_pose) @ kf.pose_cw
+        A = np.linalg.inv(old_pose) @ new_pose
         new_pos, new_valid, new_id, R_l, t_l, R_p, t_p = _rebase_chain(
             self._last_assoc_pos, self._last_assoc_valid,
             self._last_assoc_id, snap.ids_dev, snap.pos,
@@ -831,6 +864,11 @@ class TrackingModule:
         pos = np.zeros((n, 3), np.float32)
         has = np.zeros(n, bool)
         ids = np.full(n, -1, np.int32)
+        # capture the version BEFORE reading landmark fields: if the mapper
+        # publishes mid-build, the chain is stamped older than (some of) its
+        # positions and the next dispatch runs a harmless extra rebase —
+        # capturing after could stamp NEWER than the positions and skip it
+        version = self.map_db.device_table.version
         # forward associations through fusion replacements (the reference's
         # replace_landmarks_in_last_frm, mapping_module.cc:408-415)
         frm.lm_ids[:] = self.map_db.resolve_landmark_ids(frm.lm_ids)
@@ -844,7 +882,7 @@ class TrackingModule:
         self._last_assoc_pos = jnp.asarray(pos)
         self._last_assoc_valid = jnp.asarray(has)
         self._last_assoc_id = jnp.asarray(ids)
-        self._chain_tbl_version = self.map_db.device_table.version
+        self._chain_tbl_version = version
 
     def _refresh_kf_assoc(self, kf: Keyframe):
         # vectorized over the association array via the landmark field store
