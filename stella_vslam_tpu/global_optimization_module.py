@@ -32,7 +32,8 @@ from stella_vslam_tpu.ops.optim import sim3 as sim3_opt
 
 class GlobalOptimizationModule:
     def __init__(self, map_db, camera, orb_params, bow_db, *,
-                 fix_scale: bool = False, use_fixed_seed: bool = False):
+                 fix_scale: bool = False, use_fixed_seed: bool = False,
+                 loop_detector_kwargs: Optional[dict] = None):
         self.map_db = map_db
         self.camera = camera
         self.orb_params = orb_params
@@ -40,6 +41,7 @@ class GlobalOptimizationModule:
             camera, orb_params, bow_db,
             fix_scale_in_Sim3_estimation=fix_scale,
             use_fixed_seed=use_fixed_seed,
+            **(loop_detector_kwargs or {}),
         )
         self._queue: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
@@ -98,7 +100,7 @@ class GlobalOptimizationModule:
         )
         if out is None:
             return False
-        cand_id, sim3_cw, src_cand_slot, inl = out
+        cand_id, sim3_cw, src_cand_slot, inl = out[:4]
         self.correct_loop(kf1, cand_id, sim3_cw, src_cand_slot, inl)
         return True
 
@@ -532,7 +534,7 @@ class GlobalOptimizationModule:
                 if not mk.keep_fixed:
                     mk.corners_world[ci] = lm_new[row].astype(np.float64)
 
-    def _assemble_global_ba(self, D: int = 8):
+    def _assemble_global_ba(self, D: Optional[int] = None):
         map_db = self.map_db
         with map_db.lock:
             kf_ids = sorted(
@@ -545,6 +547,16 @@ class GlobalOptimizationModule:
                 return None, None, None, None
             K = 1 << int(np.ceil(np.log2(max(len(kf_ids), 2))))
             L = 1 << int(np.ceil(np.log2(max(len(lm_ids), 8))))
+            if D is None:
+                # adaptive observation width: pow2 bucket of the true max
+                # observer count, so EVERY observation constrains the solve —
+                # the reference's global BA keeps all observations
+                # (global_bundle_adjuster.cc); a fixed D=8 silently dropped
+                # constraints from long-lived landmarks during loop stitching
+                counts = map_db.assoc_store.num_obs_bulk(
+                    np.asarray(lm_ids, np.int64))
+                max_obs = int(counts.max()) if len(counts) else 2
+                D = 1 << int(np.ceil(np.log2(max(max_obs, 8))))
             slot_of = {k: i for i, k in enumerate(kf_ids)}
             inv_sigma = np.asarray(self.orb_params.inv_level_sigma_sq, np.float32)
             cam_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))

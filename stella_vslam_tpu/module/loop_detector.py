@@ -125,12 +125,17 @@ class LoopDetector:
     # ------------------------------------------------------------------
     def validate_candidates(self, map_db, cur_kf, candidates: List[int]):
         """Returns (cand_kf_id, Sim3 (s,R,t) cur<-world, matched landmark ids
-        per current slot) or None."""
+        per current slot) or None. EVERY candidate is run through the Sim3
+        validation and the one with the most post-refinement inliers wins —
+        first-pass-wins could pick a worse loop when two candidates pass
+        (the reference iterates all validated candidates,
+        loop_detector.cc:207-356)."""
+        best, best_score = None, -1
         for cand_id in candidates:
             out = self.select_loop_candidate_via_Sim3(map_db, cur_kf, cand_id)
-            if out is not None:
-                return out
-        return None
+            if out is not None and out[4] > best_score:
+                best, best_score = out[:4], out[4]
+        return best
 
     def select_loop_candidate_via_Sim3(self, map_db, cur_kf, cand_id: int):
         cand = map_db.keyframes.get(cand_id)
@@ -307,4 +312,4 @@ class LoopDetector:
         s_cw = s12
         R_cw = R12r @ R_cand
         t_cw = s12 * (R12r @ t_cand) + t12r
-        return cand_id, (s_cw, R_cw, t_cw), src_cand_slot, inl
+        return cand_id, (s_cw, R_cw, t_cw), src_cand_slot, inl, num_inl

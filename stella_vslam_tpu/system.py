@@ -84,11 +84,23 @@ class System:
         )
         from stella_vslam_tpu.camera.base import Setup as _Setup
 
+        ld = cfg.section("LoopDetector")
         self.global_optimizer = GlobalOptimizationModule(
             self.map_db, self.camera, self.orb_params, self.bow_db,
             fix_scale=self.camera.setup != _Setup.MONOCULAR,
             use_fixed_seed=cfg.get("Initializer", "use_fixed_seed", False),
+            loop_detector_kwargs=dict(
+                num_final_matches_thr=int(
+                    ld.get("num_final_matches_threshold", 40)),
+                min_continuity=int(ld.get("min_continuity", 3)),
+                reject_by_graph_distance=bool(
+                    ld.get("reject_by_graph_distance", False)),
+                min_distance_on_graph=int(
+                    ld.get("min_distance_on_graph", 50)),
+            ),
         )
+        if not bool(ld.get("enabled", True)):
+            self.global_optimizer.disable_loop_detector()
         self.global_optimizer.mapper = self.mapper
         self.mapper.global_optimizer = self.global_optimizer
         self.map_db.on_erase_keyframe.append(self.bow_db.erase_keyframe)
