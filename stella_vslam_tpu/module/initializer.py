@@ -97,10 +97,14 @@ class Initializer:
     def __init__(self, camera, orb_params, *, num_ransac_iters: int = 1024,
                  min_num_valid_pts: int = 50, min_num_triangulated_pts: int = 50,
                  parallax_deg_thr: float = 1.0, reproj_err_thr: float = 4.0,
-                 use_fixed_seed: bool = False):
+                 use_fixed_seed: bool = False,
+                 escalation_ratio_thr: float = 0.45):
         self.camera = camera
         self.orb_params = orb_params
         self.num_ransac_iters = num_ransac_iters
+        # consensus ratio below which a failed init attempt retries with the
+        # chunked 32k-hypothesis escalated sweep (measured 8-pt crossover)
+        self.escalation_ratio_thr = escalation_ratio_thr
         self.min_num_valid_pts = min_num_valid_pts
         self.min_num_triangulated_pts = min_num_triangulated_pts
         self.parallax_cos_thr = float(np.cos(np.deg2rad(parallax_deg_thr)))
@@ -163,17 +167,68 @@ class Initializer:
             np.asarray(cur_frm.h_bearings)[np.clip(idx2_h, 0, None)]
         )
         mvalid = jnp.asarray(acc_h)
-        self._key, k1, k2 = jax.random.split(self._key, 3)
+        return self._initialize_from_aligned(
+            ref, cur_uv_aligned, cur_bear_aligned, mvalid, num_matches)
 
+    # ------------------------------------------------------------------
+    def _initialize_from_aligned(self, ref, cur_uv_aligned, cur_bear_aligned,
+                                 mvalid, num_matches: int) -> bool:
+        """Two-view reconstruction from per-ref-slot aligned correspondences
+        (`ref` only needs .undist_xy / .bearings). Standard hypothesis batch
+        first; on failure with low consensus, the escalated sweep."""
+        self._key, k1, k2, k3, k4 = jax.random.split(self._key, 5)
+
+        hyp = self._two_view_hypotheses(
+            ref, cur_uv_aligned, cur_bear_aligned, mvalid, k1, k2,
+            escalated=False)
+        n_std = float(jnp.sum(hyp[3] & mvalid)) if hyp is not None else 0.0
+        if n_std / max(num_matches, 1) >= self.escalation_ratio_thr:
+            # healthy consensus: trust the standard batch. A triangulation
+            # failure here (low parallax / pure rotation) is not retried —
+            # more hypotheses cannot manufacture parallax.
+            return hyp is not None and self._finish_two_view(
+                hyp, ref, cur_bear_aligned, mvalid)
+
+        # low-inlier escalation: below the measured 8-point crossover
+        # (~45% inliers, PARITY.md §2.6 / scripts/measure_ransac_8pt.py) a
+        # sub-threshold consensus is as likely a wrong model as a hard
+        # scene, so escalate EVEN when the standard batch found a nominal
+        # model — brute-force with a chunked 32k-hypothesis sweep + LO
+        # refits (the TPU counterpart of the reference's 5-point Stewenius
+        # solver, essential_5pt.h) and reconstruct from whichever model
+        # explains more correspondences.
+        hyp_esc = self._two_view_hypotheses(
+            ref, cur_uv_aligned, cur_bear_aligned, mvalid, k3, k4,
+            escalated=True)
+        n_esc = (float(jnp.sum(hyp_esc[3] & mvalid))
+                 if hyp_esc is not None else -1.0)
+        first, second = ((hyp_esc, hyp) if n_esc >= n_std else (hyp, hyp_esc))
+        if first is not None and self._finish_two_view(
+                first, ref, cur_bear_aligned, mvalid):
+            return True
+        return second is not None and self._finish_two_view(
+            second, ref, cur_bear_aligned, mvalid)
+
+    # ------------------------------------------------------------------
+    def _two_view_hypotheses(self, ref, cur_uv_aligned, cur_bear_aligned,
+                             mvalid, k1, k2, *, escalated: bool):
+        """Candidate motions (R_h, t_h, hyp_valid, model_inliers) from the
+        H/F model selection (perspective, perspective.cc:60-77) or the
+        bearing-vector E solver (bearing_vector.cc); None when no solver
+        produced a valid model."""
         if self.camera.model == CameraModel.PERSPECTIVE:
-            hres = hsolve.find_via_ransac(
-                k1, ref.undist_xy, cur_uv_aligned, mvalid,
-                num_hypotheses=self.num_ransac_iters, recompute=False,
-            )
-            fres = fsolve.find_via_ransac(
-                k2, ref.undist_xy, cur_uv_aligned, mvalid,
-                num_hypotheses=self.num_ransac_iters, recompute=False,
-            )
+            if escalated:
+                hres = hsolve.find_via_ransac_escalated(
+                    k1, ref.undist_xy, cur_uv_aligned, mvalid)
+                fres = fsolve.find_via_ransac_escalated(
+                    k2, ref.undist_xy, cur_uv_aligned, mvalid)
+            else:
+                hres = hsolve.find_via_ransac(
+                    k1, ref.undist_xy, cur_uv_aligned, mvalid,
+                    num_hypotheses=self.num_ransac_iters, recompute=False)
+                fres = fsolve.find_via_ransac(
+                    k2, ref.undist_xy, cur_uv_aligned, mvalid,
+                    num_hypotheses=self.num_ransac_iters, recompute=False)
             cost_h = float(hres.cost)
             cost_f = float(fres.cost)
             use_h = (cost_h / max(cost_h + cost_f, 1e-9) < 0.5) and bool(hres.valid)
@@ -185,27 +240,30 @@ class Initializer:
             if use_h:
                 Hn = jnp.asarray(np.linalg.inv(K)) @ hres.H_21 @ jnp.asarray(K)
                 R8, t8, n8, okh = hsolve.decompose(Hn)
-                R_h, t_h, hyp_valid = R8, t8, okh
-                inl = hres.is_inlier
-            elif bool(fres.valid):
+                return R8, t8, okh, hres.is_inlier
+            if bool(fres.valid):
                 E = jnp.asarray(K.T) @ fres.F_21 @ jnp.asarray(K)
                 R4, t4 = esolve.decompose(E)
-                R_h, t_h, hyp_valid = R4, t4, jnp.ones(4, bool)
-                inl = fres.is_inlier
-            else:
-                return False
+                return R4, t4, jnp.ones(4, bool), fres.is_inlier
+            return None
+        # bearing-vector (E-based) initializer for all other models
+        if escalated:
+            eres = esolve.find_via_ransac_escalated(
+                k1, ref.bearings, cur_bear_aligned, mvalid)
         else:
-            # bearing-vector (E-based) initializer for all other models
             eres = esolve.find_via_ransac(
                 k1, ref.bearings, cur_bear_aligned, mvalid,
-                num_hypotheses=self.num_ransac_iters,
-            )
-            if not bool(eres.valid):
-                return False
-            R4, t4 = esolve.decompose(eres.E_21)
-            R_h, t_h, hyp_valid = R4, t4, jnp.ones(4, bool)
-            inl = eres.is_inlier
+                num_hypotheses=self.num_ransac_iters)
+        if not bool(eres.valid):
+            return None
+        R4, t4 = esolve.decompose(eres.E_21)
+        return R4, t4, jnp.ones(4, bool), eres.is_inlier
 
+    # ------------------------------------------------------------------
+    def _finish_two_view(self, hyp, ref, cur_bear_aligned, mvalid) -> bool:
+        """Evaluate the motion hypotheses by triangulation and, on success,
+        stash the scale-normalized reconstruction products."""
+        R_h, t_h, hyp_valid, inl = hyp
         best, count, ok, pts1, pt_ok, R21, t21 = _evaluate_hypotheses(
             R_h, t_h, hyp_valid, ref.bearings, cur_bear_aligned, inl & mvalid,
             self.parallax_cos_thr, self.reproj_cos_thr,

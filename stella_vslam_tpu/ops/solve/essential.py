@@ -74,17 +74,8 @@ def _angular_cost(E_21, b1, b2):
     return inlier, cost
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "recompute", "min_set_size"))
-def find_via_ransac(
-    key: jax.Array,
-    b1: jnp.ndarray,  # [N,3] bearings frame/keyframe 1
-    b2: jnp.ndarray,  # [N,3] matched bearings 2
-    match_valid: jnp.ndarray,
-    *,
-    num_hypotheses: int = 256,
-    recompute: bool = True,
-    min_set_size: int = 8,
-) -> EssentialResult:
+def _find_core(key, b1, b2, match_valid, num_hypotheses: int, lo_rounds: int,
+               min_set_size: int) -> EssentialResult:
     idx = ransac.sample_minimal_sets(key, match_valid, num_hypotheses, min_set_size)
     s1 = ransac.gather_sets(b1, idx)
     s2 = ransac.gather_sets(b2, idx)
@@ -99,7 +90,10 @@ def find_via_ransac(
 
     E_best = E[best]
     inl = inlier[best]
-    if recompute:
+    # locally-optimized refit rounds (LO-RANSAC): refit on the current inlier
+    # set and keep the model when its consensus does not shrink — recovers
+    # near-pure minimal samples, which dominate at low inlier ratios
+    for _ in range(lo_rounds):
         E_re = compute_E_21(b1, b2, valid=inl)
         in_re, _ = _angular_cost(E_re, b1, b2)
         in_re = in_re & match_valid
@@ -108,6 +102,37 @@ def find_via_ransac(
         inl = jnp.where(better, in_re, inl)
     total_b = jnp.where(ok, total[best], jnp.float32(3.0e38))
     return EssentialResult(E_best, inl, total_b, jnp.sum(inl), ok)
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "recompute", "min_set_size"))
+def find_via_ransac(
+    key: jax.Array,
+    b1: jnp.ndarray,  # [N,3] bearings frame/keyframe 1
+    b2: jnp.ndarray,  # [N,3] matched bearings 2
+    match_valid: jnp.ndarray,
+    *,
+    num_hypotheses: int = 256,
+    recompute: bool = True,
+    min_set_size: int = 8,
+) -> EssentialResult:
+    return _find_core(key, b1, b2, match_valid, num_hypotheses,
+                      1 if recompute else 0, min_set_size)
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "num_chunks",
+                                   "lo_rounds", "min_set_size"))
+def find_via_ransac_escalated(
+    key: jax.Array, b1, b2, match_valid, *, num_hypotheses: int = 4096,
+    num_chunks: int = 8, lo_rounds: int = 3, min_set_size: int = 8,
+) -> EssentialResult:
+    """Low-inlier fallback: num_chunks x num_hypotheses 8-point sets with
+    LO refits, scanned chunk-by-chunk (see ransac.escalate_scan). Replaces
+    the capability the reference gets from the 5-point Stewenius solver
+    (essential_5pt.h, essential_solver.h:46-58) on hard monocular inits."""
+    return ransac.escalate_scan(
+        lambda k: _find_core(k, b1, b2, match_valid, num_hypotheses,
+                             lo_rounds, min_set_size),
+        key, num_chunks)
 
 
 def decompose(E_21: jnp.ndarray):

@@ -70,17 +70,8 @@ def _epipolar_cost(F_21, pts1, pts2, sigma: float):
     return inlier, jnp.where(inlier, dist_sq, thr)
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "recompute"))
-def find_via_ransac(
-    key: jax.Array,
-    pts1: jnp.ndarray,
-    pts2: jnp.ndarray,
-    match_valid: jnp.ndarray,
-    *,
-    num_hypotheses: int = 256,
-    sigma: float = 1.0,
-    recompute: bool = True,
-) -> FundamentalResult:
+def _find_core(key, pts1, pts2, match_valid, num_hypotheses: int,
+               sigma: float, lo_rounds: int) -> FundamentalResult:
     idx = ransac.sample_minimal_sets(key, match_valid, num_hypotheses, 8)
     s1 = ransac.gather_sets(pts1, idx)
     s2 = ransac.gather_sets(pts2, idx)
@@ -95,7 +86,8 @@ def find_via_ransac(
 
     F_best = F[best]
     inl = inlier[best]
-    if recompute:
+    # LO-RANSAC refit rounds (see essential._find_core)
+    for _ in range(lo_rounds):
         F_re = compute_F_21(pts1, pts2, valid=inl)
         in_re, _ = _epipolar_cost(F_re, pts1, pts2, sigma)
         in_re = in_re & match_valid
@@ -104,6 +96,35 @@ def find_via_ransac(
         inl = jnp.where(better, in_re, inl)
     total_b = jnp.where(ok, total[best], jnp.float32(3.0e38))
     return FundamentalResult(F_best, inl, total_b, jnp.sum(inl), ok)
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "recompute"))
+def find_via_ransac(
+    key: jax.Array,
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    match_valid: jnp.ndarray,
+    *,
+    num_hypotheses: int = 256,
+    sigma: float = 1.0,
+    recompute: bool = True,
+) -> FundamentalResult:
+    return _find_core(key, pts1, pts2, match_valid, num_hypotheses, sigma,
+                      1 if recompute else 0)
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "num_chunks", "lo_rounds"))
+def find_via_ransac_escalated(
+    key: jax.Array, pts1, pts2, match_valid, *, num_hypotheses: int = 4096,
+    num_chunks: int = 8, sigma: float = 1.0, lo_rounds: int = 3,
+) -> FundamentalResult:
+    """Low-inlier fallback: chunked 32k-hypothesis sweep with LO refits
+    (see ransac.escalate_scan); used by the initializer when the standard
+    batch's consensus ratio lands below the measured 8-point crossover."""
+    return ransac.escalate_scan(
+        lambda k: _find_core(k, pts1, pts2, match_valid, num_hypotheses,
+                             sigma, lo_rounds),
+        key, num_chunks)
 
 
 def essential_from_fundamental(F_21: jnp.ndarray, K1: jnp.ndarray, K2: jnp.ndarray):

@@ -104,17 +104,8 @@ def _symmetric_transfer_cost(H_21, pts1, pts2, sigma: float):
     return inlier, cost
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "recompute"))
-def find_via_ransac(
-    key: jax.Array,
-    pts1: jnp.ndarray,  # [N,2] undistorted keypoints (frame 1)
-    pts2: jnp.ndarray,  # [N,2] matched keypoints (frame 2)
-    match_valid: jnp.ndarray,  # [N] bool
-    *,
-    num_hypotheses: int = 256,
-    sigma: float = 1.0,
-    recompute: bool = True,
-) -> HomographyResult:
+def _find_core(key, pts1, pts2, match_valid, num_hypotheses: int,
+               sigma: float, lo_rounds: int) -> HomographyResult:
     idx = ransac.sample_minimal_sets(key, match_valid, num_hypotheses, 4)
     s1 = ransac.gather_sets(pts1, idx)  # [B,4,2]
     s2 = ransac.gather_sets(pts2, idx)
@@ -129,16 +120,44 @@ def find_via_ransac(
 
     H_best = H[best]
     inl = inlier[best]
-    if recompute:
-        # nonminimal re-estimate on the inliers of the best hypothesis
+    # LO-RANSAC refit rounds: nonminimal re-estimate on the inliers of the
+    # current model, kept when its consensus does not shrink
+    for _ in range(lo_rounds):
         H_re = compute_H_21(pts1, pts2, valid=inl)
-        in_re, cost_re = _symmetric_transfer_cost(H_re, pts1, pts2, sigma)
+        in_re, _cost_re = _symmetric_transfer_cost(H_re, pts1, pts2, sigma)
         in_re = in_re & match_valid
         better = jnp.sum(in_re) >= jnp.sum(inl)
         H_best = jnp.where(better, H_re, H_best)
         inl = jnp.where(better, in_re, inl)
     total_b = jnp.where(ok, total[best], jnp.float32(3.0e38))
     return HomographyResult(H_best, inl, total_b, jnp.sum(inl), ok)
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "recompute"))
+def find_via_ransac(
+    key: jax.Array,
+    pts1: jnp.ndarray,  # [N,2] undistorted keypoints (frame 1)
+    pts2: jnp.ndarray,  # [N,2] matched keypoints (frame 2)
+    match_valid: jnp.ndarray,  # [N] bool
+    *,
+    num_hypotheses: int = 256,
+    sigma: float = 1.0,
+    recompute: bool = True,
+) -> HomographyResult:
+    return _find_core(key, pts1, pts2, match_valid, num_hypotheses, sigma,
+                      1 if recompute else 0)
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "num_chunks", "lo_rounds"))
+def find_via_ransac_escalated(
+    key: jax.Array, pts1, pts2, match_valid, *, num_hypotheses: int = 4096,
+    num_chunks: int = 8, sigma: float = 1.0, lo_rounds: int = 3,
+) -> HomographyResult:
+    """Low-inlier fallback (see ransac.escalate_scan and the initializer)."""
+    return ransac.escalate_scan(
+        lambda k: _find_core(k, pts1, pts2, match_valid, num_hypotheses,
+                             sigma, lo_rounds),
+        key, num_chunks)
 
 
 def decompose(H_21: jnp.ndarray):

@@ -81,6 +81,32 @@ def smallest_eigvec_sym(A: jnp.ndarray) -> jnp.ndarray:
     return linalg_small.smallest_eigvec_spd(A)
 
 
+def escalate_scan(core, key: jax.Array, num_chunks: int):
+    """Escalated low-inlier search: run `core(key_i)` over num_chunks
+    decorrelated keys inside ONE program (lax.scan keeps peak memory at a
+    single chunk) and keep the result with the most inliers.
+
+    This is the TPU answer to the reference's 5-point Stewenius minimal
+    solver (essential_5pt.h): where a sequential RANSAC must shrink the
+    minimal set to keep the all-inlier sampling probability workable at low
+    inlier ratios, the MXU can brute-force 8-point sets by the tens of
+    thousands — at a 30% inlier ratio, 32k hypotheses reach ~90% success
+    probability (0.3^8 per set), and the locally-optimized refit rounds
+    inside `core` recover near-pure samples on top of that."""
+    keys = jax.random.split(key, num_chunks)
+
+    def body(carry, k):
+        res = core(k)
+        take = res.valid & ((~carry.valid) | (res.num_inliers > carry.num_inliers))
+        new = jax.tree.map(lambda a, b: jnp.where(take, a, b), res, carry)
+        return new, None
+
+    shapes = jax.eval_shape(core, keys[0])
+    empty = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    out, _ = jax.lax.scan(body, empty, keys)
+    return out
+
+
 def select_best(cost: jnp.ndarray, num_inliers: jnp.ndarray, min_inliers: int):
     """Reference best-model rule (e.g. homography_solver.cc:76): lowest cost
     among hypotheses with more than min_inliers inliers.
