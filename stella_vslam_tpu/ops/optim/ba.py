@@ -83,6 +83,63 @@ class BAResult(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
+# packed single-buffer problem upload: the mapper assembles the problem on
+# host as ONE flat f32 array (ints/bools are exact small values in f32) so a
+# keyframe event costs ONE host->device transfer instead of thirteen — each
+# transfer on the tunneled runtime carries per-op latency that stacks up to
+# 10-35 ms of the event (measured), and every one of them contends with the
+# tracker's in-flight fetches
+# ---------------------------------------------------------------------------
+
+def _packed_layout(K: int, L: int, D: int):
+    """(name, numel, shape) segments of the flat f32 problem buffer."""
+    return (
+        ("cam_R", K * 9, (K, 3, 3)),
+        ("cam_t", K * 3, (K, 3)),
+        ("cam_fixed", K, (K,)),
+        ("cam_valid", K, (K,)),
+        ("lm_pos", L * 3, (L, 3)),
+        ("lm_valid", L, (L,)),
+        ("obs_cam", L * D, (L, D)),
+        ("obs_uv", L * D * 2, (L, D, 2)),
+        ("obs_x_right", L * D, (L, D)),
+        ("obs_inv_sigma_sq", L * D, (L, D)),
+        ("obs_valid", L * D, (L, D)),
+        ("lm_fixed", L, (L,)),
+        ("lm_keep_inlier", L, (L,)),
+    )
+
+
+def packed_size(K: int, L: int, D: int) -> int:
+    return sum(n for _, n, _ in _packed_layout(K, L, D))
+
+
+def unpack_problem(buf: jnp.ndarray, K: int, L: int, D: int) -> BAProblem:
+    """Slice the flat f32 buffer back into a BAProblem (inside jit — the
+    slices are static, XLA fuses them into the consumers)."""
+    fields = {}
+    off = 0
+    for name, n, shape in _packed_layout(K, L, D):
+        fields[name] = jax.lax.slice(buf, (off,), (off + n,)).reshape(shape)
+        off += n
+    for b in ("cam_fixed", "cam_valid", "lm_valid", "obs_valid", "lm_fixed",
+              "lm_keep_inlier"):
+        fields[b] = fields[b] != 0
+    fields["obs_cam"] = fields["obs_cam"].astype(jnp.int32)
+    return BAProblem(**fields)
+
+
+@partial(jax.jit, static_argnames=("K", "L", "D", "model", "num_first",
+                                   "num_second"))
+def bundle_adjust_packed(buf, cam, *, K: int, L: int, D: int,
+                         model: str = "perspective", num_first: int = 5,
+                         num_second: int = 10) -> BAResult:
+    prob = unpack_problem(buf, K, L, D)
+    return bundle_adjust(prob, cam, model=model, num_first=num_first,
+                         num_second=num_second)
+
+
+# ---------------------------------------------------------------------------
 # lane-major helpers: structural zeros are represented as None so the unrolled
 # small-dim arithmetic skips them entirely
 # ---------------------------------------------------------------------------
