@@ -13,6 +13,7 @@ buckets); graph surgery stays host-side.
 """
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 import time
@@ -28,6 +29,8 @@ from stella_vslam_tpu.module.tracking_kernels import make_cam_scalars
 from stella_vslam_tpu.ops import lie as lie_np  # noqa: F401  (naming clarity)
 from stella_vslam_tpu.ops.optim import ba as ba_mod
 from stella_vslam_tpu.ops.optim import sim3 as sim3_opt
+
+_log = logging.getLogger(__name__)
 
 
 class GlobalOptimizationModule:
@@ -111,19 +114,60 @@ class GlobalOptimizationModule:
                 kf = self._queue.get(timeout=0.005)
             except queue.Empty:
                 continue
-            self.process_keyframe(kf)
+            try:
+                self.process_keyframe(kf)
+            except Exception:
+                # never let the loop-closing thread die silently — a dead
+                # thread would stop ALL future loop detection (the reference
+                # thread survives per-keyframe failures)
+                _log.exception("loop processing failed for keyframe %d", kf.id)
 
     def process_keyframe(self, kf):
         if kf.will_be_erased:
             return
-        cands = self.loop_detector.detect_loop_candidates(self.map_db, kf)
-        if not cands:
-            return
-        val = self.loop_detector.validate_candidates(self.map_db, kf, cands)
-        if val is None:
-            return
-        cand_id, sim3_cw, src_cand_slot, inl = val
-        self.correct_loop(kf, cand_id, sim3_cw, src_cand_slot, inl)
+        # erase protection while this keyframe is under loop processing: the
+        # mapper's redundant-keyframe culling runs concurrently and erasing
+        # the query or the selected candidate mid-flight would corrupt the
+        # correction (reference global_optimization_module.cc:164-169 +
+        # loop_detector candidate protection)
+        kf.set_not_to_be_erased(True)
+        cand_kf = None
+        try:
+            cands = self.loop_detector.detect_loop_candidates(self.map_db, kf)
+            if not cands:
+                return
+            # protect every candidate for the duration of validation
+            # (reference loop_detector.cc protects candidates through the
+            # Sim3 validation rounds)
+            with self.map_db.lock:
+                protected = [
+                    self.map_db.keyframes[c] for c in cands
+                    if c in self.map_db.keyframes
+                    and not self.map_db.keyframes[c].will_be_erased
+                ]
+                for c_kf in protected:
+                    c_kf.set_not_to_be_erased(True)
+            try:
+                val = self.loop_detector.validate_candidates(
+                    self.map_db, kf, cands)
+            finally:
+                for c_kf in protected:
+                    c_kf.set_not_to_be_erased(False)
+            if val is None:
+                return
+            cand_id, sim3_cw, src_cand_slot, inl = val
+            with self.map_db.lock:
+                cand_kf = self.map_db.keyframes.get(cand_id)
+                if cand_kf is None or cand_kf.will_be_erased:
+                    return
+                cand_kf.set_not_to_be_erased(True)
+            self.correct_loop(kf, cand_id, sim3_cw, src_cand_slot, inl)
+        finally:
+            kf.set_not_to_be_erased(False)
+            if cand_kf is not None:
+                # keyframes on a closed loop keep their loop edges, which
+                # can_be_erased() already treats as permanent protection
+                cand_kf.set_not_to_be_erased(False)
 
     # ------------------------------------------------------------------
     def correct_loop(self, cur_kf, cand_id, sim3_cw, src_cand_slot, inl):
@@ -337,8 +381,16 @@ class GlobalOptimizationModule:
                         edges.add((min(k, cid), max(k, cid)))
             if loop_pair is not None:
                 a, b = loop_pair
-                edges.add((min(a, b), max(a, b)))
-                loop_edge_set.add((min(a, b), max(a, b)))
+                if a in idx_of and b in idx_of:
+                    edges.add((min(a, b), max(a, b)))
+                    loop_edge_set.add((min(a, b), max(a, b)))
+                else:
+                    # an endpoint was erased between validation and here —
+                    # the erase-protection protocol should prevent this;
+                    # optimizing without the loop edge would bend the graph
+                    # toward nothing, so bail out
+                    _log.error("pose graph: loop pair (%d,%d) not alive", a, b)
+                    return
             edges = sorted(edges)
             if not edges:
                 return
