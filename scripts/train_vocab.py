@@ -67,6 +67,33 @@ def harvest_descriptors(max_total: int = 120_000, seed: int = 3) -> np.ndarray:
             descs.append(np.asarray(f.desc)[valid])
         print(f"box seed {tex_seed}: total {sum(map(len, descs))}")
 
+    # real-image descriptors: the reference's two shipped equirectangular
+    # photos (test/data/equirectangular_image_00{1,2}.jpg — the fixtures its
+    # own BoW test uses, bow_vocabulary.cc:40). Harvested from many crops and
+    # scales so the vocabulary covers the descriptor distribution of real
+    # imagery, not only the synthetic renderers. Skipped when the checkout
+    # is absent.
+    real_dir = "/root/reference/test/data"
+    photos = [os.path.join(real_dir, f"equirectangular_image_00{i}.jpg")
+              for i in (1, 2)]
+    if all(os.path.exists(p) for p in photos):
+        import cv2
+
+        exr = OrbExtractor(OrbParams(), 480, 480)
+        n0 = sum(map(len, descs))
+        for p in photos:
+            img = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+            Hh, Ww = img.shape
+            for _ in range(24):
+                size = int(rng.integers(480, min(Hh, 960)))
+                y = int(rng.integers(0, Hh - size + 1))
+                x = int(rng.integers(0, Ww - size + 1))
+                crop = cv2.resize(img[y:y + size, x:x + size], (480, 480))
+                f = exr.extract(jnp.asarray(crop, jnp.float32))
+                valid = np.asarray(f.valid)
+                descs.append(np.asarray(f.desc)[valid])
+        print(f"real photos: +{sum(map(len, descs)) - n0}")
+
     all_desc = np.concatenate(descs, axis=0)
     # dedup exact duplicates, then subsample
     all_desc = np.unique(all_desc, axis=0)
