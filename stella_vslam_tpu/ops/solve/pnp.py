@@ -4,12 +4,17 @@ Reference: src/stella_vslam/solve/pnp_solver.{h,cc} — EPnP minimal sets (4 pts
 + RANSAC with a scale-aware angular inlier test (1 deg * scale_factor[octave],
 pnp_solver.cc:26-33,126-153), Gauss-Newton refinement, min inlier gate.
 
-TPU-native formulation: hypotheses solved with a calibrated DLT (6-point) —
-batched 12x12 symmetric eigendecompositions, then orthogonal Procrustes to
-extract (R, t). EPnP's control-point parametrization exists to make the
-per-hypothesis cost O(n) on a CPU; on TPU the batched DLT is one fused eigh
-over all hypotheses, and final polish happens in the GN pose optimizer
-(optimize/pose.py) exactly as the reference refines with g2o afterwards.
+TPU-native formulation: minimal hypotheses are P3P (Grunert's three-point
+depth system) solved fully batched — the quartic's real roots found by
+multi-start Newton (elementwise ops only; no eigendecomposition, which TPU
+lacks for nonsymmetric matrices), depths recovered per root, and (R, t)
+extracted by exact two-triad alignment. Three-point sets keep the all-inlier
+sampling probability high AND stay well-posed on planar scenes, where a
+6-point DLT resection is structurally degenerate (the reference's EPnP
+covers planarity with its 3-control-point case, pnp_solver.h:94-118).
+A nonminimal 6-point-DLT recompute on the consensus set polishes the winner
+when the scene has depth relief; final polish happens in the GN pose
+optimizer (optimize/pose.py) exactly as the reference refines with g2o.
 """
 from __future__ import annotations
 
@@ -23,7 +28,96 @@ import jax.numpy as jnp
 from stella_vslam_tpu.ops import lie
 from stella_vslam_tpu.ops.solve import ransac
 
-MIN_SET_SIZE = 6
+MIN_SET_SIZE = 3
+# Newton starts for the P3P quartic: v = s3/s1 depth ratio; log-spaced over
+# the range practical scenes reach. Every start converges to SOME root (or a
+# clamped fixed point); duplicates/garbage just become hypotheses that score
+# zero inliers.
+_P3P_STARTS = (0.2, 0.4, 0.7, 1.0, 1.4, 2.0, 3.2, 5.0)
+_P3P_NEWTON_ITERS = 24
+
+
+def _triad(x1, x2, x3):
+    """Orthonormal frame [..., 3, 3] (columns) spanned by three points."""
+    e1 = x2 - x1
+    e1 = e1 / (jnp.linalg.norm(e1, axis=-1, keepdims=True) + 1e-12)
+    e3 = jnp.cross(e1, x3 - x1)
+    e3 = e3 / (jnp.linalg.norm(e3, axis=-1, keepdims=True) + 1e-12)
+    e2 = jnp.cross(e3, e1)
+    return jnp.stack([e1, e2, e3], axis=-1)
+
+
+def p3p_grunert(f, P):
+    """Batched P3P: [..., 3, 3] unit bearings (rows) + world points (rows)
+    -> (R [..., S, 3, 3], t [..., S, 3], valid [..., S]) over S Newton
+    starts, with X_cam = R @ X_world + t.
+
+    Grunert's depth system (s_i = depth along bearing f_i; side lengths
+    a,b,c opposite the same-index vertex):
+        s2^2 + s3^2 - 2 s2 s3 cos(alpha) = a^2
+        s1^2 + s3^2 - 2 s1 s3 cos(beta)  = b^2
+        s1^2 + s2^2 - 2 s1 s2 cos(gamma) = c^2
+    With u = s2/s1, v = s3/s1, A = a^2/b^2, C = c^2/b^2, eliminating u
+    gives u = N(v)/D(v) and a quartic Q(v) = N^2 - 2 cos(gamma) N D +
+    D^2 (1 - C q) with q(v) = 1 + v^2 - 2 v cos(beta)."""
+    f1, f2, f3 = f[..., 0, :], f[..., 1, :], f[..., 2, :]
+    P1, P2, P3 = P[..., 0, :], P[..., 1, :], P[..., 2, :]
+    a2 = jnp.sum((P2 - P3) ** 2, axis=-1)
+    b2 = jnp.sum((P1 - P3) ** 2, axis=-1)
+    c2 = jnp.sum((P1 - P2) ** 2, axis=-1)
+    ca = jnp.sum(f2 * f3, axis=-1)[..., None]
+    cb = jnp.sum(f1 * f3, axis=-1)[..., None]
+    cg = jnp.sum(f1 * f2, axis=-1)[..., None]
+    A = (a2 / (b2 + 1e-20))[..., None]
+    C = (c2 / (b2 + 1e-20))[..., None]
+    AC = A - C
+
+    def terms(v):
+        q = 1.0 + v * v - 2.0 * v * cb
+        N = 1.0 - v * v + AC * q
+        D = 2.0 * (cg - v * ca)
+        E = 1.0 - C * q
+        Q = N * N - 2.0 * cg * N * D + D * D * E
+        return q, N, D, E, Q
+
+    v = jnp.broadcast_to(
+        jnp.asarray(_P3P_STARTS, f.dtype), (*a2.shape, len(_P3P_STARTS)))
+    for _ in range(_P3P_NEWTON_ITERS):
+        q, N, D, E, Q = terms(v)
+        qp = 2.0 * v - 2.0 * cb
+        Np = -2.0 * v + AC * qp
+        Dp = -2.0 * ca
+        Ep = -C * qp
+        Qp = (2.0 * N * Np - 2.0 * cg * (Np * D + N * Dp)
+              + 2.0 * D * Dp * E + D * D * Ep)
+        Qp = jnp.where(jnp.abs(Qp) < 1e-8, 1e-8, Qp)
+        v = jnp.clip(v - Q / Qp, 1e-4, 50.0)
+
+    q, N, D, E, Q = terms(v)
+    u = N / jnp.where(jnp.abs(D) < 1e-9, 1e-9, D)
+    s1 = jnp.sqrt(b2[..., None] / jnp.maximum(q, 1e-12))
+    s2 = u * s1
+    s3 = v * s1
+    # validity: positive depths and the eliminated equation E_a actually
+    # satisfied (relative to the depth scale: a non-converged Newton start
+    # leaves a large residual; a wrong-but-converged root only wastes one
+    # scoring slot)
+    res_a = s2 * s2 + s3 * s3 - 2.0 * s2 * s3 * ca - a2[..., None]
+    res_scale = s1 * s1 + s2 * s2 + s3 * s3 + a2[..., None] + 1e-20
+    valid = (u > 0) & (q > 1e-12) & (jnp.abs(res_a) < 1e-3 * res_scale)
+    valid = valid & jnp.isfinite(s1) & jnp.isfinite(s2) & jnp.isfinite(s3)
+
+    X1 = s1[..., None] * f1[..., None, :]
+    X2 = s2[..., None] * f2[..., None, :]
+    X3 = s3[..., None] * f3[..., None, :]
+    Rc = _triad(X1, X2, X3)                       # [..., S, 3, 3]
+    Rw = _triad(P1, P2, P3)[..., None, :, :]      # [..., 1, 3, 3]
+    R = Rc @ jnp.swapaxes(jnp.broadcast_to(Rw, Rc.shape), -1, -2)
+    t = X1 - jnp.einsum("...ij,...j->...i", R,
+                        jnp.broadcast_to(P1[..., None, :], X1.shape))
+    R = jnp.where(valid[..., None, None], R, jnp.eye(3, dtype=f.dtype))
+    t = jnp.where(valid[..., None], t, 0.0)
+    return R, t, valid
 
 
 class PnPResult(NamedTuple):
@@ -109,14 +203,18 @@ def find_via_ransac(
     idx = ransac.sample_minimal_sets(key, match_valid, num_hypotheses, MIN_SET_SIZE)
     sb = ransac.gather_sets(bearings, idx)
     sp = ransac.gather_sets(pos_w, idx)
-    R, t = compute_pose_dlt(sb, sp)  # [B,3,3], [B,3]
+    R, t, hyp_ok = p3p_grunert(sb, sp)  # [B,S,3,3], [B,S,3], [B,S]
+    R = R.reshape(-1, 3, 3)
+    t = t.reshape(-1, 3)
+    hyp_ok = hyp_ok.reshape(-1)
 
     inlier, cost = check_inliers(R, t, bearings[None], pos_w[None], max_cos[None])
-    inlier = inlier & match_valid[None, :]
+    inlier = inlier & match_valid[None, :] & hyp_ok[:, None]
+    cost = jnp.where(inlier, cost, 1.0 - max_cos[None])
     cost = jnp.where(match_valid[None, :], cost, 0.0)
     num_in = jnp.sum(inlier, axis=-1)
     total = jnp.sum(cost, axis=-1)
-    best, ok = ransac.select_best(total, num_in, MIN_SET_SIZE)
+    best, ok = ransac.select_best(total, num_in, 2 * MIN_SET_SIZE)
 
     R_b, t_b, inl = R[best], t[best], inlier[best]
     # nonminimal recompute on inliers (reference recomputes EPnP on inliers)
