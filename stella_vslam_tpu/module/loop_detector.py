@@ -11,6 +11,7 @@ Reference: src/stella_vslam/module/loop_detector.{h,cc} — two phases:
 """
 from __future__ import annotations
 
+import logging
 from typing import Dict, List, Optional, Set, Tuple
 
 import jax
@@ -25,6 +26,8 @@ from stella_vslam_tpu.match import robust as robust_match
 from stella_vslam_tpu.ops.optim import pose as pose_opt
 from stella_vslam_tpu.ops.optim import sim3 as sim3_opt
 from stella_vslam_tpu.ops.solve import pnp as pnp_solve
+
+_log = logging.getLogger(__name__)
 
 
 class LoopDetector:
@@ -120,6 +123,11 @@ class LoopDetector:
             if count >= self.min_continuity - 1:
                 passed.append(cand_id)
         self.cont_sets = new_sets
+        if cands and _log.isEnabledFor(logging.DEBUG):
+            _log.debug(
+                "loop cands kf %d: %d raw (floor %.4g), %d past continuity "
+                "(counts %s)", cur_kf.id, len(cands), min_score, len(passed),
+                [c for _, c in new_sets])
         return passed
 
     # ------------------------------------------------------------------
@@ -157,6 +165,8 @@ class LoopDetector:
         acc = np.asarray(b_acc)
         idx = np.asarray(b_idx)
         if acc.sum() < 20:
+            _log.debug("validate kf %d~%d: brute match %d < 20",
+                       cur_kf.id, cand_id, int(acc.sum()))
             return None
 
         # per-cur-slot correspondence to candidate landmarks
@@ -180,9 +190,13 @@ class LoopDetector:
         valid_h, inl_h, R_pnp, t_pnp = fetch_all(
             res.valid, res.is_inlier, res.R_cw, res.t_cw)
         if not bool(valid_h):
+            _log.debug("validate kf %d~%d: PnP found no model (%d corrs)",
+                       cur_kf.id, cand_id, int(has.sum()))
             return None
         inl = inl_h & has
         if inl.sum() < 15:
+            _log.debug("validate kf %d~%d: PnP inliers %d < 15",
+                       cur_kf.id, cand_id, int(inl.sum()))
             return None
 
         # 2b. reference validation loop (loop_detector.cc:440-540): pose
@@ -218,6 +232,8 @@ class LoopDetector:
                         matched[f] = True
                         src_cand_slot[f] = cand_slot
                 if matched.sum() < thr:
+                    _log.debug("validate kf %d~%d: round %d rematch %d < %d",
+                               cur_kf.id, cand_id, rnd, int(matched.sum()), thr)
                     return None
             opt = pose_opt.optimize_pose(
                 jnp.asarray(R_np.astype(np.float32)),
@@ -229,6 +245,8 @@ class LoopDetector:
             num_h, inl_opt, R_np, t_np = fetch_all(
                 opt.num_inliers, opt.is_inlier, opt.R_cw, opt.t_cw)
             if int(num_h) < thr:
+                _log.debug("validate kf %d~%d: round %d pose-opt %d < %d",
+                           cur_kf.id, cand_id, rnd, int(num_h), thr)
                 return None
             matched = matched & np.asarray(inl_opt)
             R_np, t_np = np.asarray(R_np), np.asarray(t_np)
@@ -279,6 +297,8 @@ class LoopDetector:
                     cur_ok[f] = True
         both = np.nonzero(inl & cur_ok)[0]
         if len(both) < 15:
+            _log.debug("validate kf %d~%d: only %d matches live in BOTH maps",
+                       cur_kf.id, cand_id, len(both))
             return None
         R_cand, t_cand = cand.rot_cw, cand.trans_cw
         R_cur, t_cur = cur_kf.rot_cw, cur_kf.trans_cw
@@ -303,7 +323,13 @@ class LoopDetector:
         )
         num_inl = int(resT.num_inliers)
         if num_inl < min(self.num_final_matches_thr, max(15, len(both) // 2)):
+            _log.debug("validate kf %d~%d: Sim3 refine inliers %d < %d",
+                       cur_kf.id, cand_id, num_inl,
+                       min(self.num_final_matches_thr,
+                           max(15, len(both) // 2)))
             return None
+        _log.debug("validate kf %d~%d: ACCEPTED with %d Sim3 inliers",
+                   cur_kf.id, cand_id, num_inl)
 
         # corrected Sim3 cur<-world: S_12_refined o S_cand_w (s=1)
         s12 = float(resT.s_12)

@@ -26,3 +26,25 @@ import jax  # noqa: E402
 # at interpreter start, which overrides the env var — override it back.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="run tests marked slow (full-coverage profile)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default = fast profile: slow-marked tests are skipped unless --slow
+    (or RUN_SLOW=1) is given. The slow profile carries the long e2e runs
+    (loop closure, map IO round trips, scale); CI/driver budgets need the
+    default collection to finish in minutes on the 1-core CPU mesh."""
+    if config.getoption("--slow") or os.environ.get("RUN_SLOW"):
+        return
+    import pytest as _pytest
+
+    skip = _pytest.mark.skip(
+        reason="slow profile: pass --slow (or RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
