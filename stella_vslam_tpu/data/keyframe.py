@@ -15,25 +15,61 @@ from stella_vslam_tpu.data.graph_node import GraphNode
 
 
 class _FrameStub:
-    """Host/device storage for keyframes loaded from disk (no source Frame)."""
+    """Host storage for keyframes loaded from disk (no source Frame).
 
-    def __init__(self, host: dict, device: dict):
+    Device tensors are materialized LAZILY on first access: a loaded map's
+    keyframes only need device feats when relocalization / loop detection
+    actually matches against them, and uploading every keyframe eagerly made
+    map loading scale with map size x tunnel latency (measured: a 512-
+    keyframe map cost ~100 s to construct eagerly; lazily it is instant).
+    Materialization is idempotent, so a first-access race between threads
+    only costs a duplicate upload."""
+
+    _DEVICE = ("feats", "undist_xy", "bearings", "x_right", "depths")
+
+    def __init__(self, host: dict, camera):
         self._host_cache = host
-        for k, v in device.items():
-            setattr(self, k, v)
+        self._camera = camera
         self.num_slots = len(host["valid"])
         self.lm_ids = np.full(self.num_slots, -1, dtype=np.int64)
 
     def _host(self, name, arr):
         return self._host_cache[name]
 
+    def _materialize(self):
+        import jax
+
+        from stella_vslam_tpu.feature.orb_extractor import FrameFeatures
+
+        host = self._host_cache
+        und_d = jax.device_put(host["undist_xy"])
+        bearings = self._camera.bearings(und_d)
+        host.setdefault("bearings", np.asarray(bearings))
+        self.feats = FrameFeatures(
+            xy=jax.device_put(host["xy"]),
+            response=jax.device_put(host["response"]),
+            angle=jax.device_put(host["angle"]),
+            level=jax.device_put(host["level"]),
+            valid=jax.device_put(host["valid"]),
+            desc=jax.device_put(host["desc"]),
+        )
+        self.undist_xy = und_d
+        self.bearings = bearings
+        self.x_right = jax.device_put(host["x_right"])
+        self.depths = jax.device_put(host["depths"])
+
     def __getattr__(self, name):
         # h_xxx accessors resolve to the host cache (mirrors Frame's API)
         if name.startswith("h_"):
-            try:
-                return self.__dict__["_host_cache"][name[2:]]
-            except KeyError:
-                pass
+            key = name[2:]
+            host = self.__dict__["_host_cache"]
+            if key == "bearings" and "bearings" not in host:
+                self._materialize()
+            if key in host:
+                return host[key]
+        if name in _FrameStub._DEVICE:
+            self._materialize()
+            return self.__dict__[name]
         raise AttributeError(name)
 
 
@@ -41,12 +77,7 @@ class Keyframe:
     @staticmethod
     def from_payload(map_db, keyfrm_id: int, payload: dict, camera, orb_params):
         """Rebuild a keyframe from serialized arrays (io/map_database_io):
-        host mirrors + device tensors (uploaded once at load)."""
-        import jax
-        import jax.numpy as jnp
-
-        from stella_vslam_tpu.feature.orb_extractor import FrameFeatures
-
+        host mirrors now, device tensors lazily on first access."""
         xy = np.asarray(payload["keypts"], np.float32)
         n = len(xy)
         host = {
@@ -60,27 +91,9 @@ class Keyframe:
             "depths": np.asarray(payload["depths"], np.float32),
             "response": np.zeros(n, np.float32),
         }
-        und_d = jax.device_put(host["undist_xy"])
-        bearings = camera.bearings(und_d)
-        host["bearings"] = np.asarray(bearings)
-        feats = FrameFeatures(
-            xy=jax.device_put(host["xy"]),
-            response=jax.device_put(host["response"]),
-            angle=jax.device_put(host["angle"]),
-            level=jax.device_put(host["level"]),
-            valid=jax.device_put(host["valid"]),
-            desc=jax.device_put(host["desc"]),
-        )
-        stub = _FrameStub(
-            host,
-            {
-                "feats": feats,
-                "undist_xy": und_d,
-                "bearings": bearings,
-                "x_right": jax.device_put(host["x_right"]),
-                "depths": jax.device_put(host["depths"]),
-            },
-        )
+        # device tensors (feats/bearings/...) materialize lazily on first
+        # access — see _FrameStub
+        stub = _FrameStub(host, camera)
         stub.pose_cw = np.asarray(payload["pose_cw"], np.float64).reshape(4, 4)
         stub.timestamp = payload["ts"]
         stub.camera = camera
@@ -98,14 +111,9 @@ class Keyframe:
         self.orb_params = frame.orb_params
         self.num_slots = frame.num_slots
 
-        # device tensors shared with the source frame (immutable observation)
-        self.feats = frame.feats
-        self.undist_xy = frame.undist_xy
-        self.bearings = frame.bearings
-        self.x_right = frame.x_right
-        self.depths = frame.depths
-
-        # host mirrors (share the frame's cache)
+        # device tensors shared with the source frame (immutable
+        # observation) — delegated via properties below so a loaded-map
+        # stub can materialize its uploads lazily on first access
         self._frame_ref = frame
         self.lm_ids = frame.lm_ids.copy()
         self.pose_cw = frame.pose_cw.copy()
@@ -117,6 +125,35 @@ class Keyframe:
         # tracking thread's chain-anchor capture, tracking_module._dispatch)
         self.pose_version = 0
         self._pose_version_at_creation = 0
+        # creation-pose snapshot: a new keyframe's pose is expressed in the
+        # coordinates of the device table it was created against, so when a
+        # table publish arrives before this keyframe ever appeared in a snap,
+        # THIS is the rebase origin — even if a BA writeback already moved
+        # the live pose (set_pose_cw rebinds rather than mutates, so holding
+        # the initial array is snapshot-safe). Read by the tracking thread's
+        # chain-anchor capture (tracking_module._dispatch).
+        self._pose_at_creation = self.pose_cw
+
+    # device tensors delegate to the source frame / lazy stub
+    @property
+    def feats(self):
+        return self._frame_ref.feats
+
+    @property
+    def undist_xy(self):
+        return self._frame_ref.undist_xy
+
+    @property
+    def bearings(self):
+        return self._frame_ref.bearings
+
+    @property
+    def x_right(self):
+        return self._frame_ref.x_right
+
+    @property
+    def depths(self):
+        return self._frame_ref.depths
 
     # host mirrors delegate to the frame cache
     @property

@@ -557,16 +557,17 @@ class TrackingModule:
         # then move landmarks without re-anchoring the poses).
         anchor_pose = tbl.kf_poses.get(self.ref_keyfrm_id)
         if anchor_pose is None:
-            # keyframe created after this publish: its pose is untouched
-            # since creation unless a writeback already moved it (the
-            # pose_version check detects that narrow window — fall back to
-            # the drain path at the next publish instead of anchoring wrong)
-            if ref_kf.pose_version == ref_kf._pose_version_at_creation:
-                anchor_pose = ref_kf.pose_cw
-        self._chain_anchor = (
-            (self.ref_keyfrm_id, anchor_pose) if anchor_pose is not None
-            else None
-        )
+            # keyframe created after this publish: its CREATION pose is by
+            # construction expressed in this snap's coordinates (the frame it
+            # was built from tracked against this table), so it is the
+            # correct rebase origin even when a BA writeback has already
+            # moved the live pose — the common case, since the writeback
+            # bumps the pose before publishing the new table and dispatches
+            # land inside that window on almost every keyframe event
+            # (measured: 49 drain bubbles of 60-170 ms per bench run when
+            # this fell back to the drain path instead).
+            anchor_pose = ref_kf._pose_at_creation
+        self._chain_anchor = (self.ref_keyfrm_id, anchor_pose)
         if self._kf_for_assoc is not ref_kf:
             self._refresh_kf_assoc(ref_kf)
         margin = (
@@ -795,6 +796,9 @@ class TrackingModule:
         anchor = self._chain_anchor
         if (anchor is None or self._last_assoc_pos is None
                 or self._dev_pose is None or self._dev_pose_prev is None):
+            _log.debug(
+                "rebase miss: anchor=%s assoc=%s pose=%s", anchor is not None,
+                self._last_assoc_pos is not None, self._dev_pose is not None)
             return False
         kf_id, old_pose = anchor
         # the anchor keyframe's pose AS OF the new publish (coherent with the
@@ -802,6 +806,8 @@ class TrackingModule:
         # already carry the NEXT writeback
         new_pose = snap.kf_poses.get(kf_id)
         if new_pose is None:  # culled from the map since
+            _log.debug("rebase miss: anchor kf %d not in snap v%s", kf_id,
+                       snap.version)
             return False
         A = np.linalg.inv(old_pose) @ new_pose
         new_pos, new_valid, new_id, R_l, t_l, R_p, t_p = _rebase_chain(
