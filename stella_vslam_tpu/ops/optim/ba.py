@@ -48,6 +48,25 @@ from stella_vslam_tpu.ops import lie
 CHI_SQ_2D = 5.991
 CHI_SQ_3D = 7.815
 
+# Above this many elements, [L,K]/[N,K] dense cross tensors (the one-hot
+# camera scatters and the Schur-product operands) are no longer materialized
+# whole: the Schur product chunks over the landmark axis with lax.scan and
+# the back-substitution gathers instead of one-hot-matmuls. 2^22 elements =
+# 16 MB per f32 array, and the dense Schur product keeps ~40 of them live —
+# at K=512 / L=65536 that formulation was measured to exceed single-chip HBM
+# (a [K,6,L,3] transpose alone tiled to 48 GB). Small problems (every
+# tracking-path local BA bucket) stay on the dense single-matmul program.
+_DENSE_CROSS_ELEMS = 1 << 22
+
+
+def _cross_chunk(L: int, K: int) -> int:
+    """Pow2 chunk of the landmark/observation axis keeping chunk*K near 2^20
+    elements (4 MB per [C,K] f32 operand)."""
+    c = max(256, (1 << 20) // max(K, 1))
+    while c > 1 and (c > L or L % c):
+        c //= 2
+    return max(c, 1)
+
 
 class BAProblem(NamedTuple):
     """Padded fixed-shape BA problem. K cameras, L landmarks, D obs/landmark."""
@@ -315,9 +334,25 @@ def _linearize(prob: BAProblem, cam_R, cam_t, lm_pos, inlier, cam, model,
                 acc = t if acc is None else acc + t
         per_obs.append(_as0(acc, wr[0]))
     M = jnp.stack([a.reshape(N) for a in per_obs], axis=1)  # [N,27]
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (N, K), 1)
-    ohf = (prob.obs_cam.reshape(N, 1) == iota_k).astype(jnp.float32)
-    cam_blocks = jnp.dot(M.T, ohf, preferred_element_type=jnp.float32)  # [27,K]
+    if N * K >= _DENSE_CROSS_ELEMS:
+        # chunk the one-hot contraction over the observation axis: the full
+        # [N,K] scatter is the memory hog at global-BA scale
+        C = _cross_chunk(N, K)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, K), 1)
+
+        def _acc_blocks(acc, inp):
+            m_c, oc = inp
+            oh = (oc[:, None] == iota_c).astype(jnp.float32)
+            return acc + jnp.dot(
+                m_c.T, oh, preferred_element_type=jnp.float32), None
+
+        cam_blocks, _ = jax.lax.scan(
+            _acc_blocks, jnp.zeros((27, K), jnp.float32),
+            (M.reshape(N // C, C, 27), prob.obs_cam.reshape(N // C, C)))
+    else:
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (N, K), 1)
+        ohf = (prob.obs_cam.reshape(N, 1) == iota_k).astype(jnp.float32)
+        cam_blocks = jnp.dot(M.T, ohf, preferred_element_type=jnp.float32)  # [27,K]
     sym_idx = {}
     for n, (i, j) in enumerate(ij_pairs):
         sym_idx[(i, j)] = n
@@ -393,6 +428,73 @@ def _sym_get(H, i, j):
     return H[(i, j)] if (i, j) in H else H[(j, i)]
 
 
+def _schur_product_chunked(prob, Wm, G, b_p, K):
+    """W Hpp^-1 W^T and W Hpp^-1 b_p accumulated over landmark chunks.
+
+    Returns (S_red [6K,6K], rhs_red [6K]) in BLOCKED row layout
+    (row = i*K + k): every per-chunk operand is a [C,K] tile with K in the
+    lane dimension, the 108 block matmuls are [K,C]@[C,K], and nothing with
+    a 3- or 6-sized trailing dim is ever materialized at [.,L] scale."""
+    L, D = prob.obs_cam.shape
+    C = _cross_chunk(L, K)
+    nc = L // C
+    # stacked scan inputs (row-major reshapes of the [L,...] arrays are free)
+    wm_st = jnp.stack([Wm[(i, a)] for i in range(6) for a in range(3)],
+                      axis=1)  # [L,18,D]
+    g_st = jnp.stack([_sym_get(G, a, b) for a in range(3) for b in range(3)],
+                     axis=1)  # [L,9]
+    bp_st = jnp.stack(b_p, axis=1)  # [L,3]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, K), 1)
+
+    def _acc(carry, inp):
+        S_blk, rhs_blk = carry  # [6,6,K,K], [6,K]
+        wm_c, g_c, bp_c, oc = inp
+        Wk = {}
+        for n, (i, a) in enumerate(
+                (i, a) for i in range(6) for a in range(3)):
+            acc = None
+            for d in range(D):
+                oh_d = (oc[:, d:d + 1] == iota_c).astype(jnp.float32)
+                t = oh_d * wm_c[:, n, d:d + 1]
+                acc = t if acc is None else acc + t
+            Wk[(i, a)] = acc  # [C,K]
+        A = {
+            (i, a): (
+                Wk[(i, 0)] * g_c[:, 0 * 3 + a:0 * 3 + a + 1]
+                + Wk[(i, 1)] * g_c[:, 1 * 3 + a:1 * 3 + a + 1]
+                + Wk[(i, 2)] * g_c[:, 2 * 3 + a:2 * 3 + a + 1]
+            )
+            for i in range(6) for a in range(3)
+        }
+        dims = (((0,), (0,)), ((), ()))  # contract the C axis of both
+        S_new = S_blk + jnp.stack([
+            jnp.stack([
+                sum(jax.lax.dot_general(A[(i, a)], Wk[(j, a)], dims,
+                                        preferred_element_type=jnp.float32)
+                    for a in range(3))
+                for j in range(6)
+            ])
+            for i in range(6)
+        ])
+        rhs_new = rhs_blk + jnp.stack([
+            sum(jax.lax.dot_general(
+                A[(i, a)], bp_c[:, a:a + 1], dims,
+                preferred_element_type=jnp.float32)[:, 0]
+                for a in range(3))
+            for i in range(6)
+        ])
+        return (S_new, rhs_new), None
+
+    (S_blk, rhs_blk), _ = jax.lax.scan(
+        _acc,
+        (jnp.zeros((6, 6, K, K), jnp.float32), jnp.zeros((6, K), jnp.float32)),
+        (wm_st.reshape(nc, C, 18, D), g_st.reshape(nc, C, 9),
+         bp_st.reshape(nc, C, 3), prob.obs_cam.reshape(nc, C, D)))
+    # blocked flatten: S_red[(i,k),(j,m)] — 6 lands in sublanes, K in lanes
+    S_red = S_blk.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    return S_red, rhs_blk.reshape(6 * K)
+
+
 def _solve_schur(prob: BAProblem, cam_R, cam_t, lm_pos, blocks, lam):
     """Damped Schur-complement solve from precomputed blocks; applies the
     update to (cam_R, cam_t, lm_pos) and returns the trial state."""
@@ -408,62 +510,83 @@ def _solve_schur(prob: BAProblem, cam_R, cam_t, lm_pos, blocks, lam):
         keep = (~prob.lm_fixed).astype(jnp.float32)
         G = {k: v * keep for k, v in G.items()}
 
-    # Wk[(i,a)] [L,K]: one-hot scatter of Wm over the D axis, unrolled over D
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (L, K), 1)
-    Wk = {key: jnp.zeros((L, K), jnp.float32) for key in Wm}
-    for d in range(D):
-        oh_d = (prob.obs_cam[:, d:d + 1] == iota_k).astype(jnp.float32)
-        for key, wm in Wm.items():
-            Wk[key] = Wk[key] + oh_d * wm[:, d:d + 1]
-    # A = Wk @ Hpp_inv per landmark: A[(i,a)] [L,K]
-    A = {}
-    for i in range(6):
-        for a in range(3):
-            A[(i, a)] = (
-                Wk[(i, 0)] * _sym_get(G, 0, a)[:, None]
-                + Wk[(i, 1)] * _sym_get(G, 1, a)[:, None]
-                + Wk[(i, 2)] * _sym_get(G, 2, a)[:, None]
-            )
+    large = L * K >= _DENSE_CROSS_ELEMS
+    if large:
+        # global-BA scale: the dense [L,K] scatters below exceed HBM — chunk
+        # the Schur product over the landmark axis instead (blocked [(i,k)]
+        # layout so K stays in vector lanes; the interleaved layout's
+        # [K,6,L,3] transpose tiled 3 -> 128 lanes and cost 48 GB, measured)
+        S_red, rhs_red = _schur_product_chunked(prob, Wm, G, b_p, K)
+    else:
+        # Wk[(i,a)] [L,K]: one-hot scatter of Wm over D, unrolled over D
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (L, K), 1)
+        Wk = {key: jnp.zeros((L, K), jnp.float32) for key in Wm}
+        for d in range(D):
+            oh_d = (prob.obs_cam[:, d:d + 1] == iota_k).astype(jnp.float32)
+            for key, wm in Wm.items():
+                Wk[key] = Wk[key] + oh_d * wm[:, d:d + 1]
+        # A = Wk @ Hpp_inv per landmark: A[(i,a)] [L,K]
+        A = {}
+        for i in range(6):
+            for a in range(3):
+                A[(i, a)] = (
+                    Wk[(i, 0)] * _sym_get(G, 0, a)[:, None]
+                    + Wk[(i, 1)] * _sym_get(G, 1, a)[:, None]
+                    + Wk[(i, 2)] * _sym_get(G, 2, a)[:, None]
+                )
 
-    # Schur product as ONE MXU matmul: [6K, 3L] @ [3L, 6K], output already in
-    # the interleaved [(k,i),(m,j)] layout of the dense solve below
-    A_st = jnp.stack([
-        jnp.stack([A[(i, a)] for a in range(3)]) for i in range(6)
-    ])  # [6,3,L,K]
-    W_st = jnp.stack([
-        jnp.stack([Wk[(j, a)] for a in range(3)]) for j in range(6)
-    ])  # [6,3,L,K]
-    A_mat = A_st.transpose(3, 0, 2, 1).reshape(K * 6, L * 3)  # [(k,i),(l,a)]
-    B_mat = W_st.transpose(2, 1, 3, 0).reshape(L * 3, K * 6)  # [(l,a),(m,j)]
-    S_red = jnp.dot(A_mat, B_mat, preferred_element_type=jnp.float32)
+        # Schur product as ONE MXU matmul: [6K, 3L] @ [3L, 6K], output
+        # already in the interleaved [(k,i),(m,j)] layout of the dense solve
+        A_st = jnp.stack([
+            jnp.stack([A[(i, a)] for a in range(3)]) for i in range(6)
+        ])  # [6,3,L,K]
+        W_st = jnp.stack([
+            jnp.stack([Wk[(j, a)] for a in range(3)]) for j in range(6)
+        ])  # [6,3,L,K]
+        A_mat = A_st.transpose(3, 0, 2, 1).reshape(K * 6, L * 3)
+        B_mat = W_st.transpose(2, 1, 3, 0).reshape(L * 3, K * 6)
+        S_red = jnp.dot(A_mat, B_mat, preferred_element_type=jnp.float32)
 
-    bp_flat = jnp.stack(b_p, axis=1).reshape(L * 3)  # [(l,a)]
-    rhs_red = jnp.dot(A_mat, bp_flat, preferred_element_type=jnp.float32)
+        bp_flat = jnp.stack(b_p, axis=1).reshape(L * 3)  # [(l,a)]
+        rhs_red = jnp.dot(A_mat, bp_flat, preferred_element_type=jnp.float32)
 
     # damped camera diagonal, embedded block-diagonally
     eye6 = jnp.eye(6, dtype=Hcc.dtype)
     diag_damp = lam * jnp.maximum(jnp.trace(Hcc, axis1=-2, axis2=-1) / 6.0, 1e-6)
     Hcc_d = Hcc + (diag_damp[:, None, None] + 1e-7) * eye6
     eyeK = jnp.eye(K, dtype=jnp.float32)
-    block_diag = jnp.einsum("km,kij->kimj", eyeK, Hcc_d).reshape(6 * K, 6 * K)
+    free = (prob.cam_valid & ~prob.cam_fixed).astype(jnp.float32)  # [K]
+    if large:
+        # blocked layout: row index = i*K + k
+        block_diag = jnp.einsum(
+            "km,kij->ikjm", eyeK, Hcc_d).reshape(6 * K, 6 * K)
+        rhs = b_c.T.reshape(-1) - rhs_red
+        free6 = jnp.tile(free, 6)
+    else:
+        # interleaved layout: row index = k*6 + i
+        block_diag = jnp.einsum(
+            "km,kij->kimj", eyeK, Hcc_d).reshape(6 * K, 6 * K)
+        rhs = b_c.reshape(-1) - rhs_red
+        free6 = jnp.repeat(free, 6)
     S = -S_red + block_diag
-    rhs = (b_c.reshape(-1) - rhs_red)
 
     # mask fixed / invalid cameras: identity rows/cols, zero rhs
-    free = (prob.cam_valid & ~prob.cam_fixed).astype(jnp.float32)  # [K]
-    free6 = jnp.repeat(free, 6)
     S = S * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
     rhs = rhs * free6
 
-    dx = -jnp.linalg.solve(S, rhs).reshape(K, 6)
-    dx = dx * free[:, None]
+    dx = -jnp.linalg.solve(S, rhs)
+    dx = (dx.reshape(6, K).T if large else dx.reshape(K, 6)) * free[:, None]
 
-    # back-substitute landmarks: dx at each observation via one-hot matmul
-    ohf = (
-        prob.obs_cam.reshape(N, 1)
-        == jax.lax.broadcasted_iota(jnp.int32, (N, K), 1)
-    ).astype(jnp.float32)
-    dx_o = jnp.dot(ohf, dx, preferred_element_type=jnp.float32)  # [N,6]
+    # back-substitute landmarks: dx at each observation — gather at scale,
+    # one-hot matmul for the small (tracking-path) buckets
+    if large:
+        dx_o = jnp.take(dx, prob.obs_cam.reshape(N), axis=0)  # [N,6]
+    else:
+        ohf = (
+            prob.obs_cam.reshape(N, 1)
+            == jax.lax.broadcasted_iota(jnp.int32, (N, K), 1)
+        ).astype(jnp.float32)
+        dx_o = jnp.dot(ohf, dx, preferred_element_type=jnp.float32)  # [N,6]
     dx_i = [dx_o[:, i].reshape(L, D) for i in range(6)]
     wtd = []
     for a in range(3):
