@@ -413,12 +413,40 @@ class GlobalOptimizationModule:
                 eR[n] = Ra @ Rb.T
                 et[n] = ta - es[n] * (eR[n] @ tb)
 
+        # pow2 (K, E) buckets so loop closures with nearby graph sizes share
+        # ONE compiled program: the raw-shape version recompiled on nearly
+        # every loop closure (keyframe/edge counts almost never repeat) —
+        # a fresh 20-60 s compile while the mapper is paused, mid-run
+        Kp = 1 << int(np.ceil(np.log2(max(K, 16))))
+        Ep = 1 << int(np.ceil(np.log2(max(E, 16))))
+        fixed = np.array([k == map_db.origin_keyfrm_id for k in kf_ids])
+        valid = np.zeros(Kp, bool)
+        valid[:K] = True
+        evalid = np.zeros(Ep, bool)
+        evalid[:E] = True
+
+        def padk(a, fill=0.0):
+            out = np.full((Kp,) + a.shape[1:], fill, a.dtype)
+            out[:K] = a
+            return out
+
+        def pade(a, fill=0.0):
+            out = np.full((Ep,) + a.shape[1:], fill, a.dtype)
+            out[:E] = a
+            return out
+
+        R_pad = padk(R)
+        R_pad[K:] = np.eye(3, dtype=np.float32)
+        eR_pad = pade(eR)
+        eR_pad[E:] = np.eye(3, dtype=np.float32)
         res = sim3_opt.optimize_pose_graph(
-            jnp.asarray(s), jnp.asarray(R), jnp.asarray(t),
-            jnp.asarray(np.array([k == map_db.origin_keyfrm_id for k in kf_ids])),
-            jnp.ones(K, bool),
-            jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(es),
-            jnp.asarray(eR), jnp.asarray(et), jnp.ones(E, bool),
+            jnp.asarray(padk(s, 1.0)), jnp.asarray(R_pad),
+            jnp.asarray(padk(t)),
+            jnp.asarray(np.concatenate([fixed, np.ones(Kp - K, bool)])),
+            jnp.asarray(valid),
+            jnp.asarray(pade(ei)), jnp.asarray(pade(ej)),
+            jnp.asarray(pade(es, 1.0)),
+            jnp.asarray(eR_pad), jnp.asarray(pade(et)), jnp.asarray(evalid),
         )
         s_new, R_new, t_new = fetch_all(res.s_cw, res.R_cw, res.t_cw)
         with map_db.lock:

@@ -69,6 +69,77 @@ def solve_spd_unrolled(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return solve_upper_from_lower_unrolled(L, solve_lower_unrolled(L, b))
 
 
+def solve_spd_blocked(S: jnp.ndarray, rhs: jnp.ndarray,
+                      block: int = 8) -> jnp.ndarray:
+    """SPD solve S x = rhs for a single [n,n] system, n a multiple of
+    `block` — the mid-size regime between the unrolled small solves above
+    and anything LAPACK-shaped. jnp.linalg.solve at [384,384] costs 27 ms
+    on-chip (serialized LU); this blocked right-looking Cholesky runs
+    n/block fori_loop steps, each an unrolled block factorization + ONE
+    [n,block]@[block,n] MXU trailing update, in the low single-digit ms.
+    Used by every reduced-camera Schur solve (ops/optim/ba._solve_schur:
+    [6K,6K] with K a pow2 camera bucket) and the Sim3 pose-graph solve
+    ([7K,7K]). Sizes that are not a multiple of `block` are padded with an
+    identity diagonal (zero coupling), which leaves the solution exact."""
+    n0 = S.shape[-1]
+    B = block
+    pad = (-n0) % B
+    if pad:
+        S = jnp.pad(S, ((0, pad), (0, pad)))
+        idx = jnp.arange(n0 + pad)
+        S = jnp.where((idx[:, None] == idx[None, :]) & (idx[:, None] >= n0),
+                      jnp.asarray(1.0, S.dtype), S)
+        rhs = jnp.pad(rhs, (0, pad))
+    n = n0 + pad
+    nb = n // B
+    dtype = S.dtype
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def fac_body(j, carry):
+        A, L = carry
+        r = j * B
+        Ajj = jax.lax.dynamic_slice(A, (r, r), (B, B))
+        Ljj = cholesky_unrolled(Ajj)
+        colA = jax.lax.dynamic_slice(A, (0, r), (n, B))  # [n,B]
+        # P[k] = inv(Ljj) @ colA[k] == (colA @ inv(Ljj)^T)[k], batched over k
+        P = solve_lower_unrolled(Ljj, colA)
+        trail = (rows >= r + B).astype(dtype)
+        P_tr = P * trail  # rows above/in the current block column: zero
+        A = A - jnp.dot(P_tr, P_tr.T, preferred_element_type=dtype)
+        colL = jax.lax.dynamic_update_slice(P_tr, Ljj, (r, 0))
+        L = jax.lax.dynamic_update_slice(L, colL, (0, r))
+        return A, L
+
+    _, L = jax.lax.fori_loop(0, nb, fac_body, (S, jnp.zeros_like(S)))
+
+    # forward substitution L y = rhs: y[m >= current block] is still zero,
+    # and L is strictly block-lower + lower-triangular diagonal blocks, so
+    # the full-row matvec picks up exactly the already-solved prefix
+    def fwd_body(j, y):
+        r = j * B
+        Lrow = jax.lax.dynamic_slice(L, (r, 0), (B, n))
+        s = jnp.dot(Lrow, y, preferred_element_type=dtype)
+        Ljj = jax.lax.dynamic_slice(L, (r, r), (B, B))
+        bj = jax.lax.dynamic_slice(rhs, (r,), (B,))
+        yj = solve_lower_unrolled(Ljj, bj - s)
+        return jax.lax.dynamic_update_slice(y, yj, (r,))
+
+    y = jax.lax.fori_loop(0, nb, fwd_body, jnp.zeros_like(rhs))
+
+    # backward substitution L^T x = y, from the last block up
+    def bwd_body(i, x):
+        r = (nb - 1 - i) * B
+        Lcol = jax.lax.dynamic_slice(L, (0, r), (n, B))
+        s = jnp.dot(Lcol.T, x, preferred_element_type=dtype)
+        Ljj = jax.lax.dynamic_slice(L, (r, r), (B, B))
+        yj = jax.lax.dynamic_slice(y, (r,), (B,))
+        xj = solve_upper_from_lower_unrolled(Ljj, yj - s)
+        return jax.lax.dynamic_update_slice(x, xj, (r,))
+
+    x = jax.lax.fori_loop(0, nb, bwd_body, jnp.zeros_like(rhs))
+    return x[:n0] if pad else x
+
+
 def smallest_eigvec_spd(A: jnp.ndarray, num_squarings: int = 18) -> jnp.ndarray:
     """Eigenvector of the smallest eigenvalue of batched symmetric PSD
     [..., D, D] — the DLT null-space extractor for the RANSAC solvers.

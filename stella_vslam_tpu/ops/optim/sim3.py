@@ -252,7 +252,7 @@ def optimize_pose_graph(
         b = b * free[:, None]
 
         Hd = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
-        dx = -jnp.linalg.solve(Hd, b.reshape(-1)).reshape(K, 7)
+        dx = -linalg_small.solve_spd_blocked(Hd, b.reshape(-1)).reshape(K, 7)
         dx = dx * free[:, None]
 
         ds, dR, dt = lie.sim3_exp(dx)

@@ -177,7 +177,7 @@ def make_sharded_ba_step(mesh: Mesh, cam: CamScalars, model: str = "perspective"
         rhs = rhs * free[:, None]
 
         Sd = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
-        dx = -jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(K, 6)
+        dx = -linalg_small.solve_spd_blocked(Sd, rhs.reshape(-1)).reshape(K, 6)
         dx = dx * free[:, None]
 
         # local landmark back-substitution on this shard
