@@ -99,6 +99,15 @@ def main():
     med = float(np.median(steady))
     mean = float(np.mean(steady))
     fps = 1.0 / mean if mean > 0 else 0.0
+    if os.environ.get("BENCH_DUMP"):
+        worst = np.argsort(steady)[-20:][::-1]
+        sys.stderr.write("worst frames (idx: ms): " + ", ".join(
+            f"{int(i) + 30}: {steady[i] * 1e3:.0f}" for i in worst) + "\n")
+        sys.stderr.write(
+            f"tail mass: >50ms {np.sum(steady[steady > 0.05]) * 1e3:.0f} ms "
+            f"over {int(np.sum(steady > 0.05))} frames; "
+            f"10-50ms {np.sum(steady[(steady > 0.01) & (steady <= 0.05)]) * 1e3:.0f} ms "
+            f"over {int(np.sum((steady > 0.01) & (steady <= 0.05)))} frames\n")
 
     # ---- tracking integrity
     results = slam.frame_poses

@@ -125,18 +125,19 @@ class MappingModule:
         i32 = lambda *s: jnp.zeros(s, jnp.int32)
         u32 = lambda *s: jnp.zeros(s, jnp.uint32)
         bl = lambda *s: jnp.zeros(s, bool)
-        eye = jnp.eye(3, dtype=jnp.float32)
-        kf_tri = (f32(N, 2), i32(N), u32(N, 8), f32(N, 3), f32(N), bl(N),
-                  bl(N), f32(N), eye, f32(3))
-        res = self.kernels.triangulate_gather(
-            kf_tri, tuple(kf_tri for _ in range(B)), bl(B),
+        kf_tri = (f32(N, 2), i32(N), u32(N, 8), f32(N, 3), f32(N), f32(N))
+        res = self.kernels.triangulate_packed(
+            kf_tri, tuple(kf_tri for _ in range(B)),
+            np.zeros((B + 1, N, 2), np.float32),
+            np.zeros((B + 1, 13), np.float32),
         )
         jax.block_until_ready(res.ok)
         KC, MC = self.FUSE_KF_CHUNK, self.FUSE_LM_CHUNK
-        kf_fuse = (f32(N, 2), i32(N), u32(N, 8), bl(N), f32(N), eye, f32(3))
-        out = self.kernels.fuse_gather(
-            tuple(kf_fuse for _ in range(KC)), bl(KC),
-            f32(MC, 3), u32(MC, 8), f32(MC), f32(MC), f32(MC, 3), bl(MC),
+        kf_fuse = (f32(N, 2), i32(N), u32(N, 8), bl(N), f32(N))
+        out = self.kernels.fuse_packed(
+            tuple(kf_fuse for _ in range(KC)),
+            np.zeros((KC, 13), np.float32),
+            np.zeros((MC, 9), np.float32), u32(MC, 8),
             margin=3.0,
         )
         jax.block_until_ready(out[0])
@@ -378,25 +379,26 @@ class MappingModule:
             return None
         B = 5
         neighbors = neighbors[:B]
-        pair_valid = np.zeros(B, bool)
-        pair_valid[: len(neighbors)] = True
         padded = neighbors + [neighbors[0]] * (B - len(neighbors))
-        # per-keyframe tensors go in as a pytree; stacking happens inside the
-        # jitted program (ONE dispatch instead of ~13 eager stacks)
-        kf_tuple = lambda o: (
+        # device-resident per-keyframe tensors ride as pytree leaves; ALL
+        # host-side operands (unassoc/stereo masks, poses, pair validity)
+        # cross in TWO packed buffers instead of ~24 small uploads — each
+        # upload is a per-op tunnel round trip the event serializes on
+        kf_dev = lambda o: (
             o.undist_xy, o.feats.level, o.feats.desc, o.bearings,
-            o.feats.angle, (o.lm_ids < 0) & o.h_valid, o.h_x_right > 0,
-            o.x_right,
-            o.rot_cw.astype(np.float32), o.trans_cw.astype(np.float32),
+            o.feats.angle, o.x_right,
         )
-        cur_args = (
-            cur.undist_xy, cur.feats.level, cur.feats.desc, cur.bearings,
-            cur.feats.angle, (cur.lm_ids < 0) & cur.h_valid,
-            cur.h_x_right > 0, cur.x_right,
-            cur.rot_cw.astype(np.float32), cur.trans_cw.astype(np.float32),
-        )
-        res = self.kernels.triangulate_gather(
-            cur_args, tuple(kf_tuple(o) for o in padded), pair_valid,
+        N = cur.num_slots
+        masks = np.zeros((B + 1, N, 2), np.float32)
+        pose_pack = np.zeros((B + 1, 13), np.float32)
+        for i, kf in enumerate([cur] + padded):
+            masks[i, :, 0] = (kf.lm_ids < 0) & kf.h_valid
+            masks[i, :, 1] = kf.h_x_right > 0
+            pose_pack[i, :9] = kf.rot_cw.reshape(9)
+            pose_pack[i, 9:12] = kf.trans_cw
+        pose_pack[1:1 + len(neighbors), 12] = 1.0
+        res = self.kernels.triangulate_packed(
+            kf_dev(cur), tuple(kf_dev(o) for o in padded), masks, pose_pack,
         )
         return res, neighbors
 
@@ -525,37 +527,44 @@ class MappingModule:
             return []
         KC, MC = self.FUSE_KF_CHUNK, self.FUSE_LM_CHUNK
         fs = self.map_db.fields
-        lm_pos = fs.pos[lm_ids].astype(np.float32)
-        lm_desc = fs.desc[lm_ids]
-        lm_dmin = fs.dmin[lm_ids].astype(np.float32)
-        lm_dmax = fs.dmax[lm_ids].astype(np.float32)
-        lm_norm = fs.normal[lm_ids].astype(np.float32)
+        # all host-side landmark fields packed into ONE f32 buffer + the u32
+        # descriptors (2 uploads per chunk; the per-field form cost 6) —
+        # each upload is a per-op tunnel round trip that the keyframe event
+        # serializes on
         M = len(lm_ids)
-        kf_tuple = lambda kf: (
+        lm_pack_all = np.zeros((M, 9), np.float32)
+        lm_pack_all[:, 0:3] = fs.pos[lm_ids]
+        lm_pack_all[:, 3] = fs.dmin[lm_ids]
+        lm_pack_all[:, 4] = fs.dmax[lm_ids]
+        lm_pack_all[:, 5:8] = fs.normal[lm_ids]
+        lm_pack_all[:, 8] = 1.0
+        lm_desc = fs.desc[lm_ids]
+        kf_dev = lambda kf: (
             kf.undist_xy, kf.feats.level, kf.feats.desc, kf.feats.valid,
             kf.x_right,
-            kf.rot_cw.astype(np.float32), kf.trans_cw.astype(np.float32),
         )
         chunks = []
         for k0 in range(0, len(keyframes), KC):
             kf_chunk = keyframes[k0:k0 + KC]
-            kf_valid = np.zeros(KC, bool)
-            kf_valid[: len(kf_chunk)] = True
             padded_kfs = kf_chunk + [kf_chunk[0]] * (KC - len(kf_chunk))
-            kfs_tuple = tuple(kf_tuple(kf) for kf in padded_kfs)
+            kfs_dev = tuple(kf_dev(kf) for kf in padded_kfs)
+            # host-side per-keyframe poses + batch mask: ONE upload
+            kf_pack = np.zeros((KC, 13), np.float32)
+            for i, kf in enumerate(padded_kfs):
+                kf_pack[i, :9] = kf.rot_cw.reshape(9)
+                kf_pack[i, 9:12] = kf.trans_cw
+            kf_pack[: len(kf_chunk), 12] = 1.0
             for m0 in range(0, M, MC):
                 msz = min(MC, M - m0)
-                pad = lambda a: np.concatenate(
-                    [a[m0:m0 + msz],
-                     np.zeros((MC - msz,) + a.shape[1:], a.dtype)]
-                ) if msz < MC else a[m0:m0 + MC]
-                lm_valid = np.zeros(MC, bool)
-                lm_valid[:msz] = True
-                best, acc = self.kernels.fuse_gather(
-                    kfs_tuple, kf_valid,
-                    pad(lm_pos), pad(lm_desc), pad(lm_dmin), pad(lm_dmax),
-                    pad(lm_norm), lm_valid,
-                    margin=margin,
+                lm_pack = lm_pack_all[m0:m0 + MC]
+                ld = lm_desc[m0:m0 + MC]
+                if msz < MC:
+                    lm_pack = np.concatenate(
+                        [lm_pack, np.zeros((MC - msz, 9), np.float32)])
+                    ld = np.concatenate(
+                        [ld, np.zeros((MC - msz, 8), ld.dtype)])
+                best, acc = self.kernels.fuse_packed(
+                    kfs_dev, kf_pack, lm_pack, ld, margin=margin,
                 )
                 chunks.append((lm_ids, kf_chunk, m0, msz, best, acc))
         return chunks

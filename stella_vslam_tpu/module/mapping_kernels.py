@@ -200,6 +200,31 @@ class MappingKernels:
             R1, t1, stacked[8], stacked[9], pair_valid,
         )
 
+    @partial(jax.jit, static_argnames=("self",))
+    def triangulate_packed(self, cur_dev, others_dev, masks_pack, pose_pack):
+        """Packed-upload entry: device-resident per-keyframe tensors ride as
+        pytree leaves (no transfer), while every HOST-side operand crosses
+        in TWO buffers instead of ~24 — `masks_pack` [B+1, N, 2] f32
+        (unassoc, is_stereo; row 0 = current keyframe) and `pose_pack`
+        [B+1, 13] f32 (R row-major | t | pair_valid; row 0 = current).
+        Each small transfer costs per-op tunnel latency (measured 1-3 ms
+        quiet, 10x under load), so the upload COUNT is what the keyframe
+        event's weather exposure scales with."""
+        (kp1_uv, kp1_level, kp1_desc, kp1_bear, kp1_angle, kp1_xr) = cur_dev
+        stacked = [jnp.stack(vals) for vals in zip(*others_dev)]
+        R_all = pose_pack[:, :9].reshape(-1, 3, 3)
+        t_all = pose_pack[:, 9:12]
+        pair_valid = pose_pack[1:, 12] > 0
+        un = masks_pack[..., 0] > 0
+        st = masks_pack[..., 1] > 0
+        return self._triangulate_multi_impl(
+            kp1_uv, kp1_level, kp1_desc, kp1_bear, kp1_angle, un[0],
+            st[0], kp1_xr,
+            stacked[0], stacked[1], stacked[2], stacked[3], stacked[4],
+            un[1:], st[1:], stacked[5],
+            R_all[0], t_all[0], R_all[1:], t_all[1:], pair_valid,
+        )
+
     def _fuse_multi_impl(
         self,
         # stacked keyframe tensors [B, ...]
@@ -249,6 +274,26 @@ class MappingKernels:
         return self._fuse_multi_impl(
             s[0], s[1], s[2], s[3], s[4], s[5], s[6], kf_batch_valid,
             lm_pos, lm_desc, lm_min_dist, lm_max_dist, lm_normal, lm_valid,
+            margin=margin,
+        )
+
+    @partial(jax.jit, static_argnames=("self", "margin"))
+    def fuse_packed(self, kfs_dev, kf_pack, lm_pack, lm_desc,
+                    margin: float = 3.0):
+        """Packed-upload entry: `kfs_dev` is a tuple of B per-keyframe
+        tuples of DEVICE tensors (uv, level, desc, valid, xr); every
+        host-side operand crosses in THREE buffers — `kf_pack` [B, 13] f32
+        (R row-major | t | batch_valid), `lm_pack` [M, 9] f32 (pos | dmin |
+        dmax | normal | valid), `lm_desc` [M, 8] u32 — instead of ~38 per
+        chunk (see triangulate_packed on why the COUNT matters)."""
+        s = [jnp.stack(vals) for vals in zip(*kfs_dev)]
+        R_cw = kf_pack[:, :9].reshape(-1, 3, 3)
+        t_cw = kf_pack[:, 9:12]
+        kf_batch_valid = kf_pack[:, 12] > 0
+        return self._fuse_multi_impl(
+            s[0], s[1], s[2], s[3], s[4], R_cw, t_cw, kf_batch_valid,
+            lm_pack[:, 0:3], lm_desc, lm_pack[:, 3], lm_pack[:, 4],
+            lm_pack[:, 5:8], lm_pack[:, 8] > 0,
             margin=margin,
         )
 

@@ -5,11 +5,15 @@ Reference: src/stella_vslam/solve/essential_solver.{h,cc} — RANSAC with the
 inlier check (1 deg epipolar-plane cosine, essential_solver.cc:228-270),
 4-way (R, t) decomposition.
 
-TPU deviation (documented): the Stewenius action-matrix step needs a
-nonsymmetric 10x10 eigendecomposition, which XLA does not provide on TPU
-(jnp.linalg.eig is CPU-only). We run the RANSAC over batched 8-point minimal
-sets instead — same scoring, same recompute, more hypotheses to reach the same
-success probability at 8 samples per set.
+Two minimal-set paths:
+* batched 8-point sets (find_via_ransac / _escalated) — cheapest per
+  hypothesis, the default at healthy inlier ratios;
+* TRUE 5-point sets (find_via_ransac_5pt, backed by ops/solve/
+  essential_5pt's hidden-variable resultant) — the Stewenius action-matrix
+  step needs a nonsymmetric 10x10 eigendecomposition XLA does not provide
+  on TPU, so the 5-point solver isolates the degree-10 resultant's real
+  roots by sign bisection instead. ~37x better per-sample purity odds at
+  30% inliers; wired into the initializer's low-inlier escalation.
 """
 from __future__ import annotations
 
@@ -22,6 +26,7 @@ import jax.numpy as jnp
 
 from stella_vslam_tpu.ops import lie
 from stella_vslam_tpu.ops.solve import ransac
+from stella_vslam_tpu.ops.solve import essential_5pt
 
 import math
 
@@ -133,6 +138,45 @@ def find_via_ransac_escalated(
         lambda k: _find_core(k, b1, b2, match_valid, num_hypotheses,
                              lo_rounds, min_set_size),
         key, num_chunks)
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "lo_rounds"))
+def find_via_ransac_5pt(
+    key: jax.Array, b1, b2, match_valid, *, num_hypotheses: int = 512,
+    lo_rounds: int = 2,
+) -> EssentialResult:
+    """RANSAC over TRUE 5-point minimal sets (ops/solve/essential_5pt) —
+    the reference's Stewenius capability (essential_5pt.h,
+    essential_solver.h:46-58) without the nonsymmetric eigensolve. Each set
+    yields up to 10 E candidates; all are scored jointly by the shared
+    angular gate, then LO-refit on the consensus set. At 30% inliers a
+    5-point sample is pure with p=0.24% vs 0.0066% for 8 points — ~37x
+    better sampling odds per hypothesis."""
+    B = num_hypotheses
+    idx = ransac.sample_minimal_sets(key, match_valid, B, 5)
+    s1 = ransac.gather_sets(b1, idx)
+    s2 = ransac.gather_sets(b2, idx)
+    E, evalid = essential_5pt.solve_minimal_sets(s1, s2)  # [B,10,3,3]
+    R = E.shape[1]
+    Ef = E.reshape(B * R, 3, 3)
+    inlier, cost = _angular_cost(Ef, b1[None], b2[None])
+    inlier = inlier & match_valid[None, :] & evalid.reshape(B * R)[:, None]
+    cost = jnp.where(inlier, cost,
+                     jnp.where(match_valid[None, :], 1.0 - COS_ANGLE_THR, 0.0))
+    num_in = jnp.sum(inlier, axis=-1)
+    total = jnp.sum(cost, axis=-1)
+    best, ok = ransac.select_best(total, num_in, 5)
+    E_best = Ef[best]
+    inl = inlier[best]
+    for _ in range(lo_rounds):
+        E_re = compute_E_21(b1, b2, valid=inl)
+        in_re, _ = _angular_cost(E_re, b1, b2)
+        in_re = in_re & match_valid
+        better = jnp.sum(in_re) >= jnp.sum(inl)
+        E_best = jnp.where(better, E_re, E_best)
+        inl = jnp.where(better, in_re, inl)
+    total_b = jnp.where(ok, total[best], jnp.float32(3.0e38))
+    return EssentialResult(E_best, inl, total_b, jnp.sum(inl), ok)
 
 
 def decompose(E_21: jnp.ndarray):
