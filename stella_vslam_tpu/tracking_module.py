@@ -222,6 +222,10 @@ class TrackingModule:
         # cadence for pipelined fetch round trips.
         self.synchronous = False
         self._discard_pending = False
+        # keyframe whose insertion host-work is deferred off the tracker
+        # lock (_drain_insert); single slot, claimed under the lock
+        self._insert_pending = None
+        self._insert_busy = False
         # device-chained association + pose state of the last tracked frame
         self._last_assoc_pos = None  # [N,3] device
         self._last_assoc_valid = None  # [N] device
@@ -355,6 +359,7 @@ class TrackingModule:
             self._flush_batch()
             while self._pending:
                 self._finalize_one()
+            self._drain_insert()
         if self.state == STATE_INITIALIZING:
             ok = self._initialize(frm)
             if ok:
@@ -427,6 +432,7 @@ class TrackingModule:
                 self._flush_batch()
                 while self._pending:
                     self._finalize_one()
+                self._drain_insert()
                 _log.debug("drain bubble frame %d: %.1f ms", frm.id,
                            (_time.monotonic() - t0) * 1e3)
                 if self.state != STATE_TRACKING:
@@ -438,6 +444,7 @@ class TrackingModule:
             self._flush_batch()
             while self._pending:
                 self._finalize_one()
+            self._drain_insert()
             return self.last_frm.pose_cw if self.last_frm is not None else None
         self._ensure_fin_thread()
         self._cond.notify_all()
@@ -506,6 +513,10 @@ class TrackingModule:
                             (p.frm.id, p.frm.timestamp, None,
                              p.frm.ref_keyfrm_id, None))
                     self._cond.notify_all()
+            # keyframe insertion host work runs OUTSIDE the tracker lock so
+            # concurrent feed_frame calls never wait on it (sequential with
+            # the next finalize by construction: same thread)
+            self._drain_insert()
 
     # ------------------------------------------------------------------
     def _dispatch(self, frm: Frame, snap=None):
@@ -627,18 +638,47 @@ class TrackingModule:
             self._batch = []
 
     def finalize_pending(self):
-        """Barrier: all dispatched frames are finalized on return."""
+        """Barrier: all dispatched frames are finalized (and any deferred
+        keyframe insertion has landed) on return."""
         with self._cond:
             self._flush_batch()
             if self._fin_thread is not None and self._fin_thread.is_alive():
                 self._cond.notify_all()
-                while self._pending:
+                while (self._pending or self._insert_pending is not None
+                       or self._insert_busy):
                     self._cond.wait(timeout=1.0)
                     if self._fin_thread is None \
                             or not self._fin_thread.is_alive():
                         break
             while self._pending:
                 self._finalize_one()
+            self._drain_insert()
+
+    def _drain_insert(self):
+        """Run a deferred keyframe insertion (decided in _finalize_one).
+        Called by the finalize thread OUTSIDE the tracker lock, and inline
+        by the synchronous drain paths — the slot is CLAIMED under the lock
+        so a concurrent inline drain and the finalize thread can never both
+        insert the same frame; _insert_busy keeps finalize_pending's
+        barrier honest while the insert runs off-lock."""
+        with self._cond:
+            frm = self._insert_pending
+            self._insert_pending = None
+            if frm is not None:
+                self._insert_busy = True
+        if frm is None:
+            return
+        t0 = _time.monotonic()
+        try:
+            kf = self.keyfrm_inserter.insert_new_keyframe(self.map_db, frm)
+            with self._cond:
+                self.ref_keyfrm_id = kf.id
+        finally:
+            with self._cond:
+                self._insert_busy = False
+                self._cond.notify_all()
+        _log.debug("kf insert frame %d: insert %.1f ms (off-lock)",
+                   frm.id, (_time.monotonic() - t0) * 1e3)
 
     def _finalize_one(self):
         if not self._pending:
@@ -734,17 +774,21 @@ class TrackingModule:
             counts = self.map_db.assoc_store.num_obs_bulk(frm.lm_ids)
             num_reliable = int((counts >= min_obs).sum())
             t1 = _time.monotonic()
-            if self.keyfrm_inserter.new_keyframe_is_needed(
-                self.map_db, frm, num_final, self.last_keyfrm_time, ref_kf,
-                num_reliable=num_reliable,
-            ):
-                kf = self.keyfrm_inserter.insert_new_keyframe(self.map_db, frm)
-                self.ref_keyfrm_id = kf.id
+            if self._insert_pending is None and not self._insert_busy and \
+                    self.keyfrm_inserter.new_keyframe_is_needed(
+                        self.map_db, frm, num_final, self.last_keyfrm_time,
+                        ref_kf, num_reliable=num_reliable):
+                # the insertion host work (~10 ms: native-store bulk insert,
+                # keyframe construction, map registration) runs OFF the
+                # tracker lock in _drain_insert — inline it blocked every
+                # feed_frame for its duration. last_keyfrm_time advances NOW
+                # so the next finalize's decision doesn't double-insert
+                # while this one is in flight (the _insert_pending guard
+                # covers the same window).
+                self._insert_pending = frm
                 self.last_keyfrm_time = frm.timestamp
-                _log.debug(
-                    "kf insert frame %d: reliable-count %.1f ms, "
-                    "insert %.1f ms", frm.id, (t1 - t0) * 1e3,
-                    (_time.monotonic() - t1) * 1e3)
+                _log.debug("kf insert frame %d queued: reliable-count "
+                           "%.1f ms", frm.id, (t1 - t0) * 1e3)
         frm.ref_keyfrm_id = self.ref_keyfrm_id
         # frame statistics: relative pose to the reference keyframe so the
         # exported trajectory benefits from later keyframe-pose refinement
@@ -922,6 +966,8 @@ class TrackingModule:
         self._pending = []
         self._batch = []
         self._discard_pending = False
+        self._insert_pending = None
+        self._insert_busy = False
         self._dev_pose = None
         self._dev_pose_prev = None
         self._chain_tbl_version = None

@@ -82,6 +82,7 @@ def test_true_E_among_candidates():
 
 
 @pytest.mark.parametrize("ratio,min_success", [(0.30, 7)])
+@pytest.mark.slow
 def test_low_inlier_ransac_beats_8pt(ratio, min_success):
     """At 30% inliers the 5-point RANSAC at 256 hypotheses must succeed
     where the 8-point batch needs ~70k (PARITY.md table: 8pt@256 = 1/10

@@ -7,6 +7,7 @@ keyframe as a spanning child + a landmark referenced to it) before the
 writeback — exactly the interleaving the live system produces — and checks
 the propagation invariants numerically."""
 import numpy as np
+import pytest
 
 from stella_vslam_tpu.config import Config
 from stella_vslam_tpu.data.keyframe import Keyframe
@@ -18,6 +19,7 @@ from stella_vslam_tpu.util.fetch import fetch_all
 from tests.synthetic_world import PlaneWorld, lateral_trajectory
 
 
+@pytest.mark.slow
 def test_spanning_tree_propagation_after_global_ba():
     world = PlaneWorld()
     poses = lateral_trajectory(30, step=0.02)

@@ -111,6 +111,7 @@ def _run_initializer(camera, b1, b2, R_21, t_21, *, gate_thr=None):
     return rot_err < 3.0 and t_err < 10.0
 
 
+@pytest.mark.slow
 def test_initializer_escalates_and_reconstructs():
     """End-to-end through Initializer._initialize_from_aligned at a 30%
     inlier ratio: the escalated path (default gate) must recover the true

@@ -78,6 +78,7 @@ def test_stereo_slam_tracks_metric_scale():
     assert abs(est - gt) / gt < 0.08, f"scale error: est {est:.3f} vs gt {gt:.3f}"
 
 
+@pytest.mark.slow
 def test_rgbd_slam_instant_map():
     world = PlaneWorld()
     cam = world.camera_yaml()
