@@ -17,6 +17,7 @@ import threading
 from typing import Dict, NamedTuple, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from stella_vslam_tpu.data.keyframe import Keyframe
@@ -132,7 +133,7 @@ def stable_unique(arr: np.ndarray) -> np.ndarray:
     return arr[np.sort(first)]
 
 
-class TableSnap(NamedTuple):
+class TableSnap:
     """One coherent published state of the device landmark table.
 
     The tracking thread dispatches against whatever snapshot is current at
@@ -140,27 +141,73 @@ class TableSnap(NamedTuple):
     so it can never observe a half-refreshed table even though the mapping
     thread refreshes concurrently without the tracker holding the map lock
     (the reference instead serializes through map_database::mtx_database_,
-    map_database.h:268-269; here the tracker is lock-free on the hot path)."""
+    map_database.h:268-269; here the tracker is lock-free on the hot path).
 
-    version: int
-    count: int
-    ids: np.ndarray  # [C] i64 host
-    ids_dev: jax.Array  # [C] i32
-    pos: jax.Array  # [C,3] f32
-    desc: jax.Array  # [C,8] u32
-    normal: jax.Array  # [C,3] f32
-    min_dist: jax.Array  # [C]
-    max_dist: jax.Array  # [C]
-    valid: jax.Array  # [C] bool
-    track_valid: jax.Array  # [C] bool
-    # keyframe poses AS OF this publish (id -> 4x4 pose_cw array reference;
-    # set_pose_cw rebinds rather than mutating, so these are true snapshots).
-    # The tracking thread's chain rebase computes its re-anchoring transform
-    # A = inv(pose@old_snap) @ pose@new_snap from these — reading live
-    # keyframe poses instead would race the mapper's separate
-    # pose-writeback / table-publish lock acquisitions (a dispatch landing
-    # between them would pair a post-BA pose with a pre-BA version).
-    kf_poses: dict
+    Device state crosses in TWO packed buffers — `tbl_f32` [C,8]
+    (pos | normal | min_dist | max_dist) and `tbl_u32` [C,10]
+    (desc | ids-as-u32-bits | valid) — the per-field form cost SEVEN
+    uploads per publish, each a per-op tunnel round trip serialized into
+    the keyframe event. The hot consumers (track_frame, the chain rebase)
+    unpack inside their jitted programs; the per-field views below exist
+    for cold paths and are derived lazily (one cached device slice each).
+
+    `kf_poses`: keyframe poses AS OF this publish (id -> 4x4 pose_cw array
+    reference; set_pose_cw rebinds rather than mutating, so these are true
+    snapshots). The tracking thread's chain rebase computes its
+    re-anchoring transform A = inv(pose@old) @ pose@new from these —
+    reading live keyframe poses instead would race the mapper's separate
+    pose-writeback / table-publish lock acquisitions."""
+
+    __slots__ = ("version", "count", "ids", "tbl_f32", "tbl_u32",
+                 "kf_poses", "_views")
+
+    def __init__(self, version, count, ids, tbl_f32, tbl_u32, kf_poses):
+        self.version = version
+        self.count = count
+        self.ids = ids  # [C] i64 host
+        self.tbl_f32 = tbl_f32  # [C,8] f32 device
+        self.tbl_u32 = tbl_u32  # [C,10] u32 device
+        self.kf_poses = kf_poses
+        self._views = {}
+
+    def _view(self, name, fn):
+        v = self._views.get(name)
+        if v is None:
+            v = self._views[name] = fn()
+        return v
+
+    @property
+    def pos(self):
+        return self._view("pos", lambda: self.tbl_f32[:, 0:3])
+
+    @property
+    def normal(self):
+        return self._view("normal", lambda: self.tbl_f32[:, 3:6])
+
+    @property
+    def min_dist(self):
+        return self._view("min_dist", lambda: self.tbl_f32[:, 6])
+
+    @property
+    def max_dist(self):
+        return self._view("max_dist", lambda: self.tbl_f32[:, 7])
+
+    @property
+    def desc(self):
+        return self._view("desc", lambda: self.tbl_u32[:, :8])
+
+    @property
+    def ids_dev(self):
+        return self._view("ids_dev", lambda: jax.lax.bitcast_convert_type(
+            self.tbl_u32[:, 8], jnp.int32))
+
+    @property
+    def valid(self):
+        return self._view("valid", lambda: self.tbl_u32[:, 9] > 0)
+
+    # tracking-visible rows == live rows (the table IS the local map);
+    # kept as a named alias for API clarity
+    track_valid = valid
 
 
 class DeviceLandmarkTable:
@@ -266,24 +313,26 @@ class DeviceLandmarkTable:
             kf_id: kf.pose_cw
             for kf_id, kf in map_db.keyframes.items() if not kf.will_be_erased
         }
-        valid_dev = jax.device_put(valid)
-        # rows visible to the tracking thread's local-map sweep (the table IS
-        # the local map now; kept as a separate field for API clarity).
+        # TWO packed uploads instead of seven per-field transfers (each is
+        # a per-op tunnel round trip serialized into the keyframe event).
         # Publication is the single `self.snap = ...` below — the tracking
         # thread reads the reference once per dispatch and never sees a torn
         # mix of old/new capacities.
+        f32pack = np.zeros((C, 8), np.float32)
+        f32pack[:n, 0:3] = pos[:n]
+        f32pack[:n, 3:6] = normal[:n]
+        f32pack[:n, 6] = dmin[:n]
+        f32pack[:n, 7] = dmax[:n]
+        u32pack = np.zeros((C, 10), np.uint32)
+        u32pack[:n, :8] = desc[:n]
+        u32pack[:, 8] = ids.astype(np.int32).view(np.uint32)
+        u32pack[:n, 9] = 1
         self.snap = TableSnap(
             version=self.version,
             count=n,
             ids=ids,
-            ids_dev=jax.device_put(ids.astype(np.int32)),
-            pos=jax.device_put(pos),
-            desc=jax.device_put(desc),
-            normal=jax.device_put(normal),
-            min_dist=jax.device_put(dmin),
-            max_dist=jax.device_put(dmax),
-            valid=valid_dev,
-            track_valid=valid_dev,
+            tbl_f32=jax.device_put(f32pack),
+            tbl_u32=jax.device_put(u32pack),
             kf_poses=kf_poses,
         )
 
@@ -307,6 +356,10 @@ class MapDatabase:
         self.fields = LandmarkFieldStore()
         self.local_landmark_ids: list = []
         self.on_erase_keyframe: list = []  # callbacks(kf_id)
+        # erased keyframe id -> (spanning parent id, T_erased_from_parent)
+        # captured at erase time; frame_poses chains through it so frames
+        # whose reference keyframe was culled still reconstruct exactly
+        self.erased_kf_forward: Dict[int, tuple] = {}
         self.markers: Dict[int, object] = {}  # fiducial markers (data/marker)
         # landmark replacement tombstones: old id -> surviving id (fusion)
         self.replaced_ids: Dict[int, int] = {}
@@ -392,6 +445,17 @@ class MapDatabase:
             if kf is None:
                 return
             kf.will_be_erased = True
+            # trajectory forwarding: frames whose reference keyframe is
+            # culled keep an exact reconstruction path — pose_frame =
+            # rel @ T_fwd @ pose_parent with T_fwd captured NOW, so later
+            # refinements of the parent still propagate (the reference's
+            # frame_statistics walks the spanning tree the same way when a
+            # ref keyframe was erased, trajectory_io.cc:40-57)
+            parent_id = kf.graph_node.spanning_parent
+            if parent_id is not None and parent_id in self.keyframes:
+                T_fwd = kf.pose_cw @ np.linalg.inv(
+                    self.keyframes[parent_id].pose_cw)
+                self.erased_kf_forward[kf_id] = (parent_id, T_fwd)
             for idx, lm_id in enumerate(kf.lm_ids):
                 if lm_id < 0:
                     continue
@@ -598,6 +662,7 @@ class MapDatabase:
             self.replaced_ids.clear()
             self.assoc_store.clear()
             self.fields.clear()
+            self.erased_kf_forward.clear()
 
     def to_json(self, cameras: dict, orb_params: dict) -> dict:
         with self.lock:

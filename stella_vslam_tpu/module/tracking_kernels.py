@@ -170,9 +170,11 @@ class TrackingKernels:
         last_assoc_pos, last_assoc_valid, last_assoc_id,
         # reference keyframe tensors + associations
         kf_desc, kf_angle, kf_assoc_pos, kf_assoc_valid, kf_assoc_id,
-        # device landmark table
-        tbl_pos, tbl_desc, tbl_normal, tbl_min_dist, tbl_max_dist, tbl_valid,
-        tbl_ids,
+        # device landmark table: TWO packed buffers (TableSnap layout —
+        # tbl_f32 [C,8]: pos|normal|min_dist|max_dist; tbl_u32 [C,10]:
+        # desc|ids-bits|valid), unpacked here inside the program so a table
+        # publish costs two uploads instead of seven
+        tbl_f32, tbl_u32,
         # device-chained poses: last frame (t-1) and the one before (t-2);
         # the motion-model prediction is computed ON DEVICE so the dispatch
         # needs no host-side pose (the previous frame may not be finalized yet)
@@ -180,6 +182,13 @@ class TrackingKernels:
         use_motion: bool = True,
         margin_local: float = 5.0,
     ) -> FullTrackOut:
+        tbl_pos = tbl_f32[:, 0:3]
+        tbl_normal = tbl_f32[:, 3:6]
+        tbl_min_dist = tbl_f32[:, 6]
+        tbl_max_dist = tbl_f32[:, 7]
+        tbl_desc = tbl_u32[:, :8]
+        tbl_ids = jax.lax.bitcast_convert_type(tbl_u32[:, 8], jnp.int32)
+        tbl_valid = tbl_u32[:, 9] > 0
         N = cur_desc.shape[0]
         cam = self.cam_scalars
         # Chained rotations MUST be re-projected onto SO(3) before using R^T

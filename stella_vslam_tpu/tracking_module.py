@@ -313,8 +313,7 @@ class TrackingModule:
                     f32(N, 3), bl(N), jnp.full(N, -1, jnp.int32),
                     u32(N, 8), f32(N),
                     f32(N, 3), bl(N), jnp.full(N, -1, jnp.int32),
-                    f32(C, 3), u32(C, 8), f32(C, 3), f32(C), f32(C), bl(C),
-                    jnp.full(C, -1, jnp.int32),
+                    f32(C, 8), u32(C, 10),
                     eye, f32(3), eye, f32(3),
                     use_motion=use_motion, margin_local=float(margin),
                 ))
@@ -466,6 +465,10 @@ class TrackingModule:
         ):
             # memory + staleness bound; fin thread drains. Timed wait + thread
             # re-check so a crashed finalize thread cannot strand the caller.
+            # (Tried: flushing the partial fetch batch here instead of letting
+            # the fin thread sit out the 10 ms batch linger — it floods the
+            # tunnel with tiny padded fetches during keyframe events and two
+            # chip runs lost their loop closure to the shifted cadence.)
             self._cond.wait(timeout=1.0)
             self._ensure_fin_thread()
         return self.last_frm.pose_cw if self.last_frm is not None else None
@@ -608,13 +611,11 @@ class TrackingModule:
             la_pos, la_valid, la_id,
             ref_kf.feats.desc, ref_kf.feats.angle,
             self._kf_assoc_pos, self._kf_assoc_valid, self._kf_assoc_id,
-            tbl.pos, tbl.desc, tbl.normal, tbl.min_dist, tbl.max_dist,
-            # covisibility-local rows only: the reference's local map is the
-            # covisibility neighborhood, NOT the whole map — matching against
-            # distant (possibly drifted) landmarks creates aliased
-            # associations that silently absorb loops (local_map_updater.cc)
-            tbl.track_valid,
-            tbl.ids_dev,
+            # the packed table buffers (TWO uploads per publish, unpacked
+            # inside the program); validity is covisibility-local rows only —
+            # the reference's local map is the covisibility neighborhood,
+            # NOT the whole map (local_map_updater.cc)
+            tbl.tbl_f32, tbl.tbl_u32,
             R_last, t_last, R_prev, t_prev,
             use_motion=use_motion, margin_local=float(margin),
         )
