@@ -12,6 +12,7 @@ Reference: src/stella_vslam/module/loop_detector.{h,cc} — two phases:
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, List, Optional, Set, Tuple
 
 import jax
@@ -327,6 +328,17 @@ class LoopDetector:
                        cur_kf.id, cand_id, num_inl,
                        min(self.num_final_matches_thr,
                            max(15, len(both) // 2)))
+            if os.environ.get("SVT_DUMP_SIM3_FAIL"):
+                np.savez(os.environ["SVT_DUMP_SIM3_FAIL"] +
+                         f"_{cur_kf.id}_{cand_id}.npz",
+                         scale=scale, R12=R12, t12=t12,
+                         pts_in_cur=pts_in_cur, pts_in_cand=pts_in_cand,
+                         obs_cur=np.asarray(obs_cur),
+                         obs_cand=np.asarray(obs_cand),
+                         R_pnp=R_pnp, t_pnp=t_pnp,
+                         R_cand=R_cand, t_cand=t_cand,
+                         R_cur=R_cur, t_cur=t_cur,
+                         fx=p.fx, fy=p.fy, cx=p.cx, cy=p.cy)
             return None
         _log.debug("validate kf %d~%d: ACCEPTED with %d Sim3 inliers",
                    cur_kf.id, cand_id, num_inl)
