@@ -239,6 +239,11 @@ class DeviceLandmarkTable:
         # AFTER the table has been refreshed (rows reordered), so row indices
         # from the frame's dispatch-time layout must be resolved against the
         # dispatch-time ids snapshot the caller passes in.
+        # bumps come from the tracker's finalize thread while the mapper
+        # thread folds at refresh — guard both sides (an unguarded fold
+        # raised "dictionary changed size during iteration" mid-bench and
+        # killed the mapper thread)
+        self._pend_lock = threading.Lock()
         self._pend_observable: Dict[int, int] = {}
         self._pend_observed: Dict[int, int] = {}
 
@@ -247,26 +252,29 @@ class DeviceLandmarkTable:
         snapshot of self.ids taken when the device program was dispatched)."""
         n = min(len(mask), len(ids))
         sel = ids[:n][mask[:n]]
-        for k in sel[sel >= 0]:
-            k = int(k)
-            self._pend_observable[k] = self._pend_observable.get(k, 0) + 1
+        with self._pend_lock:
+            for k in sel[sel >= 0]:
+                k = int(k)
+                self._pend_observable[k] = self._pend_observable.get(k, 0) + 1
 
     def bump_observed(self, lm_ids: np.ndarray):
-        for lm_id in lm_ids[lm_ids >= 0]:
-            k = int(lm_id)
-            self._pend_observed[k] = self._pend_observed.get(k, 0) + 1
+        with self._pend_lock:
+            for lm_id in lm_ids[lm_ids >= 0]:
+                k = int(lm_id)
+                self._pend_observed[k] = self._pend_observed.get(k, 0) + 1
 
     def _fold_counters(self, landmarks: Dict[int, Landmark]):
-        for lm_id, cnt in self._pend_observable.items():
+        with self._pend_lock:
+            pend_able, self._pend_observable = self._pend_observable, {}
+            pend_ed, self._pend_observed = self._pend_observed, {}
+        for lm_id, cnt in pend_able.items():
             lm = landmarks.get(lm_id)
             if lm is not None:
                 lm.num_observable += cnt
-        self._pend_observable = {}
-        for lm_id, cnt in self._pend_observed.items():
+        for lm_id, cnt in pend_ed.items():
             lm = landmarks.get(lm_id)
             if lm is not None:
                 lm.num_observed += cnt
-        self._pend_observed = {}
 
     def refresh(self, landmarks: Dict[int, Landmark], map_db,
                 local_ids=None):

@@ -62,6 +62,7 @@ class LoopDetector:
         # continuity bookkeeping: list of (keyframe id set, count)
         self.cont_sets: List[Tuple[Set[int], int]] = []
         self.enabled = True
+        self._dump_counter = 0  # uniquifies SVT_DUMP_SIM3_FAIL filenames
 
     # ------------------------------------------------------------------
     def detect_loop_candidates(self, map_db, cur_kf) -> List[int]:
@@ -329,16 +330,23 @@ class LoopDetector:
                        min(self.num_final_matches_thr,
                            max(15, len(both) // 2)))
             if os.environ.get("SVT_DUMP_SIM3_FAIL"):
-                np.savez(os.environ["SVT_DUMP_SIM3_FAIL"] +
-                         f"_{cur_kf.id}_{cand_id}.npz",
-                         scale=scale, R12=R12, t12=t12,
-                         pts_in_cur=pts_in_cur, pts_in_cand=pts_in_cand,
-                         obs_cur=np.asarray(obs_cur),
-                         obs_cand=np.asarray(obs_cand),
-                         R_pnp=R_pnp, t_pnp=t_pnp,
-                         R_cand=R_cand, t_cand=t_cand,
-                         R_cur=R_cur, t_cur=t_cur,
-                         fx=p.fx, fy=p.fy, cx=p.cx, cy=p.cy)
+                # debug aid only: never let a bad dump path (missing dir,
+                # read-only fs) abort loop detection; uniquify repeated
+                # failures of the same pair with a monotonic attempt counter
+                self._dump_counter += 1
+                try:
+                    np.savez(os.environ["SVT_DUMP_SIM3_FAIL"] +
+                             f"_{cur_kf.id}_{cand_id}_{self._dump_counter}.npz",
+                             scale=scale, R12=R12, t12=t12,
+                             pts_in_cur=pts_in_cur, pts_in_cand=pts_in_cand,
+                             obs_cur=np.asarray(obs_cur),
+                             obs_cand=np.asarray(obs_cand),
+                             R_pnp=R_pnp, t_pnp=t_pnp,
+                             R_cand=R_cand, t_cand=t_cand,
+                             R_cur=R_cur, t_cur=t_cur,
+                             fx=p.fx, fy=p.fy, cx=p.cx, cy=p.cy)
+                except Exception as exc:
+                    _log.warning("SVT_DUMP_SIM3_FAIL dump failed: %s", exc)
             return None
         _log.debug("validate kf %d~%d: ACCEPTED with %d Sim3 inliers",
                    cur_kf.id, cand_id, num_inl)
