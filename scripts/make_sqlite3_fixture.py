@@ -136,7 +136,10 @@ def main():
     poses = lateral_trajectory(30, step=0.02)
     cfg = Config.from_dict({
         "Camera": world.camera_yaml(),
-        "Feature": {"num_levels": 4},
+        # opencv descriptor pattern: the fixture must carry descriptors
+        # bit-compatible with maps the actual stella_vslam binary writes
+        # (it embeds the OpenCV ORB pair table, orb_point_pairs.h:1)
+        "Feature": {"num_levels": 4, "descriptor_pattern": "opencv"},
         "Preprocessing": {"min_size": 400},
         "Initializer": {"use_fixed_seed": True},
     })

@@ -183,8 +183,25 @@ class BowVocabulary:
         }
         np.savez_compressed(path, **packed)
 
+    def save_fbow(self, path: str):
+        """Export in the reference's FBoW binary format (data/fbow_io.py) so
+        the actual stella_vslam binary can consume a vocabulary trained
+        here (train with opencv-pattern descriptors for bit-compatibility)."""
+        from stella_vslam_tpu.data.fbow_io import write_fbow
+
+        write_fbow(path, self.centers)
+
     @staticmethod
-    def load(path: str) -> "BowVocabulary":
+    def load(path: str):
+        """Load a vocabulary: this framework's .npz format, or a reference
+        FBoW `.fbow` binary (system.cc:44-50 mandatory artifact) — detected
+        by signature, returned as an API-compatible FbowVocabulary."""
+        with open(path, "rb") as f:
+            magic = f.read(8)
+        if magic[:8] == int(55824124).to_bytes(8, "little"):
+            from stella_vslam_tpu.data.fbow_io import read_fbow
+
+            return read_fbow(path)
         v = BowVocabulary()
         data = np.load(path)
         centers = []

@@ -167,12 +167,12 @@ def _moment_vectors() -> np.ndarray:
     return out
 
 
-def _steered_bit_matrix() -> np.ndarray:
+def _steered_bit_matrix(pattern: str = "native") -> np.ndarray:
     """[ANGLE_BINS * 256, _DESC_AREA] +/-1/0 weights: row (a,p) has +1 at the
     rotated pair endpoint 1 and -1 at endpoint 0, so W @ patch = I1 - I0 and
     bit = (W @ patch > 0), matching the reference's I0 < I1 comparison
     (orb_impl.cc compute_orb_descriptor) with 12-degree angle quantization."""
-    pat = orb_pattern.generate_brief_pattern()  # [256,4]
+    pat = orb_pattern.brief_pattern(pattern)  # [256,4]
     Wm = np.zeros((ANGLE_BINS, 256, _DESC_AREA), dtype=np.float32)
     for a in range(ANGLE_BINS):
         th = 2.0 * np.pi * a / ANGLE_BINS
@@ -211,6 +211,7 @@ class OrbExtractor:
         height: int,
         min_area: int = 800,  # reference system.cc:95 "min_size" default
         mask_rects: Optional[Sequence[Tuple[float, float, float, float]]] = None,
+        descriptor_pattern: str = "native",
     ):
         self.params = params
         self.width = int(width)
@@ -234,7 +235,9 @@ class OrbExtractor:
             self.levels.append(_LevelGeom(H_l, W_l, cs, Gy, Gx, s))
 
         self.num_slots = sum(g.Gy * g.Gx for g in self.levels)
-        self._bit_matrix = jnp.asarray(_steered_bit_matrix(), dtype=jnp.bfloat16)
+        self.descriptor_pattern = descriptor_pattern or "native"
+        self._bit_matrix = jnp.asarray(
+            _steered_bit_matrix(self.descriptor_pattern), dtype=jnp.bfloat16)
         self._blur_matrix = jnp.asarray(_gauss_blur_matrix())
         self._moment_vecs = jnp.asarray(_moment_vectors())
         self._resize_mats = []

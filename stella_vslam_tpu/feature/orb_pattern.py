@@ -1,16 +1,23 @@
 """BRIEF sampling pattern and IC-angle circular patch geometry.
 
-The reference uses an OpenCV-derived learned 256-pair table
-(src/stella_vslam/feature/orb_point_pairs.h). We deliberately do NOT copy that
-table: this framework generates its own deterministic pattern following the
-original BRIEF/ORB construction (pairs drawn from an isotropic Gaussian with
-sigma = patch_size/5, clipped to the patch, fixed seed), so descriptors are
-self-consistent within this framework. Any vocabulary used for place
-recognition is likewise trained/generated for THIS descriptor family
-(see data/bow_vocabulary.py), so cross-compatibility with OpenCV descriptor
-bit-layouts is not required.
+Two pattern families:
+
+* "native" (default): this framework's own deterministic pattern following
+  the original BRIEF/ORB construction (pairs drawn from an isotropic Gaussian
+  with sigma = patch_size/5, clipped to the patch, fixed seed). Descriptors
+  are self-consistent within this framework; the shipped vocabulary
+  (data/vocab_default.npz) is trained for this family.
+* "opencv" (`Feature.descriptor_pattern: opencv`): the OpenCV ORB learned
+  256-pair constant table (`opencv_orb_pairs.npy`, the bit_pattern_31_ data
+  of OpenCV features2d/orb.cpp, 3-clause BSD). The reference embeds the same
+  table (src/stella_vslam/feature/orb_point_pairs.h) — a pure data constant
+  adopted interop-by-spec so descriptors are bit-comparable with maps and
+  vocabularies produced by the actual stella_vslam binary (relocalization /
+  loop detection against genuine reference artifacts).
 """
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -39,6 +46,27 @@ def generate_brief_pattern(seed: int = _PATTERN_SEED) -> np.ndarray:
                 np.round(rng.normal(0.0, sigma, size=2)), -13, 13
             ).astype(np.int32)
     return pts
+
+
+def opencv_brief_pattern() -> np.ndarray:
+    """The OpenCV ORB bit_pattern_31_ 256-pair table, int32 [256, 4] rows
+    (x0, y0, x1, y1), coords in [-13, 12] — identical numbers to the
+    reference's feature/orb_point_pairs.h:47 (which quotes OpenCV orb.cpp).
+    Produces descriptors bit-compatible with reference-built maps."""
+    return np.load(os.path.join(os.path.dirname(__file__),
+                                "opencv_orb_pairs.npy"))
+
+
+def brief_pattern(name: str = "native") -> np.ndarray:
+    """Pattern registry keyed by the `Feature.descriptor_pattern` config
+    value: "native" (default, this framework's seeded construction) or
+    "opencv" (reference-interoperable constant table)."""
+    if name in (None, "", "native"):
+        return generate_brief_pattern()
+    if name == "opencv":
+        return opencv_brief_pattern()
+    raise ValueError(f"unknown descriptor_pattern {name!r} "
+                     "(expected 'native' or 'opencv')")
 
 
 def ic_angle_offsets() -> np.ndarray:

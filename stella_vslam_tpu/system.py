@@ -51,9 +51,15 @@ class System:
         mask_rects = pre.get("mask_rectangles", None)
 
         self.map_db = MapDatabase()
+        # `Feature.descriptor_pattern: opencv` swaps in the OpenCV ORB pair
+        # table so descriptors are bit-comparable with maps/vocabularies
+        # produced by the reference binary (feature/orb_pattern.py)
+        self.descriptor_pattern = str(
+            cfg.get("Feature", "descriptor_pattern", "native"))
         self.extractor = OrbExtractor(
             self.orb_params, self.camera.width, self.camera.height,
             min_area=min_size, mask_rects=mask_rects,
+            descriptor_pattern=self.descriptor_pattern,
         )
         self.tracker = TrackingModule(
             self.map_db, self.camera, self.orb_params,

@@ -29,7 +29,10 @@ def _world_and_cfg():
     world = PlaneWorld()
     cfg = Config.from_dict({
         "Camera": world.camera_yaml(),
-        "Feature": {"num_levels": 4},
+        # the fixture carries OpenCV-pattern descriptors (what the genuine
+        # reference binary produces); extraction must use the same pattern
+        # for matching against the loaded map to be meaningful
+        "Feature": {"num_levels": 4, "descriptor_pattern": "opencv"},
         "Preprocessing": {"min_size": 400},
         "Initializer": {"use_fixed_seed": True},
     })
