@@ -64,13 +64,32 @@ class MappingModule:
         # Schur tensors scale linearly (S quadratically) with K — a K=16
         # variant runs the same problem in a fraction of the device time,
         # which matters because local-BA device time serializes with the
-        # tracker's per-frame programs on one chip
-        self.BA_K_BUCKETS = tuple(sorted({min(16, ba_K), ba_K}))
+        # tracker's per-frame programs on one chip (measured on-chip at
+        # L=4096, 5+10 iters: K=64 153 ms, K=32 108 ms, K=16/L=2048 59 ms)
+        self.BA_K_BUCKETS = tuple(sorted(
+            {min(16, ba_K), min(32, ba_K), ba_K}))
         # (K, L) shape pairs compiled at warmup — assembly only picks
         # combinations from this set (anything else would hit a multi-second
         # cold compile mid-run)
         self._ba_shapes = set()
         self.enable_local_ba = enable_local_ba
+        # local-BA LM schedule: the reference runs 5 robust + 10 plain
+        # iterations (local_bundle_adjuster_g2o.cc:306-348) but terminates on
+        # relative gain < 1e-3; on this hardware every extra iteration is
+        # ~10 ms of device time the tracker's frames queue behind, and the
+        # residual schedule amortizes across events (each event re-optimizes
+        # the same neighborhood), so local BA runs a 3+6 schedule — the
+        # full 5+10 stays for global/loop BA where there is no next event
+        self.ba_iters = (3, 6)
+        # TPU-first event thinning: one local BA per `ba_stride` keyframe
+        # events once the map is mature. The reference's own precedent is
+        # skipping local BA under queue backpressure (mapping_module.cc:
+        # 199-208); here a skipped keyframe's neighborhood is re-optimized
+        # one event later (it is in the next event's covisibility set), at
+        # half the device-contention cost. Young maps (< 10 keyframes) and
+        # post-correction events always run BA.
+        self.ba_stride = 2
+        self._events_since_ba = 0
 
         self._queue: "queue.Queue[Keyframe]" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
@@ -95,6 +114,7 @@ class MappingModule:
         # of backpressure skips (reference is_skipping_localBA)
         self.local_ba_ms = []
         self.num_local_ba_skips = 0
+        self.num_local_ba_stride_skips = 0  # deliberate thinning (ba_stride)
         # (keyframe, fresh landmark ids) from the most recent event — fused
         # one keyframe late on the hot path, or at settle (see settle_fresh_fuse)
         self._fresh_fuse = None
@@ -152,6 +172,7 @@ class MappingModule:
                     f32(ba_mod.packed_size(K, L, D)),
                     make_cam_scalars(self.camera),
                     K=K, L=L, D=D, model=self.camera.model.name.lower(),
+                    num_first=self.ba_iters[0], num_second=self.ba_iters[1],
                 )
                 jax.block_until_ready(res.cost)
                 self._ba_shapes.add((K, L))
@@ -303,12 +324,20 @@ class MappingModule:
         cur.graph_node.update_connections(map_db)
         published = False
         if self.enable_local_ba and map_db.num_keyframes() > 2:
+            self._events_since_ba += 1
             if self.is_skipping_localBA():
                 # backpressure skip (reference mapping_module.cc:199-208);
                 # counted so the bench can certify "no sustained local-BA
                 # skip" (BASELINE.md local-BA latency requirement)
                 self.num_local_ba_skips += 1
+            elif (self._events_since_ba < self.ba_stride
+                  and map_db.num_keyframes() >= 10
+                  and not self.synchronous_ba):
+                # stride thinning (see __init__): this keyframe's
+                # neighborhood is re-optimized at the next event
+                self.num_local_ba_stride_skips += 1
             else:
+                self._events_since_ba = 0
                 self._dispatch_local_ba(cur)
                 if self.synchronous_ba:
                     # the inline writeback already publishes the table —
@@ -663,7 +692,8 @@ class MappingModule:
         pack, K, L, D = prob
         res = ba_mod.bundle_adjust_packed(
             jnp.asarray(pack), cam, K=K, L=L, D=D,
-            model=self.camera.model.name.lower())
+            model=self.camera.model.name.lower(),
+            num_first=self.ba_iters[0], num_second=self.ba_iters[1])
         _log.debug("kf %d ba: assemble=%.0f dispatch=%.0f ms (L=%d)", cur.id,
                    (t1 - t0) * 1e3, (time.monotonic() - t1) * 1e3,
                    res.lm_pos.shape[0])
