@@ -93,6 +93,16 @@ class MappingModule:
 
         self._queue: "queue.Queue[Keyframe]" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
+        # staged keyframe event in flight (threaded mode): the event's
+        # device work (BoW + triangulation + fuse) is dispatched and its
+        # grouped fetch handed to a worker; the run loop applies the results
+        # when they land instead of blocking on them. The mapper thread
+        # therefore never sits inside a device wait, so the tracker needs no
+        # inflight throttle while an event runs (the old blocking event +
+        # depth-4 throttle cost 60-350 ms of serialized wait per event).
+        self._event = None
+        self._event_fetch_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="event-fetch")
         # local BA in flight: dispatched during the keyframe event, fetched +
         # written back on the mapper thread's next idle tick (or at the next
         # keyframe event / pause / terminate, whichever comes first). The
@@ -220,15 +230,32 @@ class MappingModule:
 
     # ------------------------------------------------------------------ loop
     def run(self):
+        from concurrent.futures import TimeoutError as _FutTimeout
+
         while not self._terminate.is_set():
             if self._pause_requested.is_set():
-                # settle in-flight BA before acknowledging the pause: the
-                # loop-closing thread corrects the map right after is_paused
-                # flips, and a post-correction BA writeback would undo it
+                # settle the in-flight event + BA before acknowledging the
+                # pause: the loop-closing thread corrects the map right after
+                # is_paused flips, and a post-correction apply/writeback
+                # would undo it
+                self._complete_event()
                 self.apply_pending_ba()
                 self.settle_fresh_fuse()
                 self._paused.set()
                 time.sleep(0.005)
+                continue
+            if self._event is not None:
+                # poll the staged event's grouped fetch; the bounded wait
+                # keeps pause/terminate responsive without busy-spinning
+                fut = self._event["fut"]
+                if fut is not None and not fut.done():
+                    try:
+                        fut.result(timeout=0.005)
+                    except _FutTimeout:
+                        continue
+                    except Exception:
+                        pass  # re-raised (and logged) in _finish_event
+                self._finish_event()
                 continue
             try:
                 kf = self._queue.get(timeout=0.005)
@@ -239,51 +266,74 @@ class MappingModule:
                 continue
             self._idle.clear()
             try:
-                self.mapping_with_new_keyframe(kf)
-                if self.global_optimizer is not None:
-                    self.global_optimizer.queue_keyframe(kf)
-            finally:
-                self._idle.set()
-                self.num_processed += 1
+                self._event = self._event_start(kf)
+            except Exception:
+                # contain per-keyframe failures: a dead mapper thread stops
+                # ALL future mapping (and starves keyframe insertion)
+                _log.exception("keyframe event start failed for kf %d", kf.id)
+                self._event = None
+            if self._event is None:
+                self._event_aftermath(kf)
         # settle before the thread exits
+        self._complete_event()
         self.apply_pending_ba()
         self.settle_fresh_fuse()
 
+    def _finish_event(self):
+        ev, self._event = self._event, None
+        try:
+            self._event_finish(ev)
+        except Exception:
+            _log.exception("keyframe event failed for kf %d", ev["kf"].id)
+        finally:
+            self._event_aftermath(ev["kf"])
+
+    def _complete_event(self):
+        """Drain the staged event synchronously (pause/terminate barrier)."""
+        if self._event is not None:
+            self._finish_event()
+
+    def _event_aftermath(self, kf: Keyframe):
+        if self.global_optimizer is not None:
+            self.global_optimizer.queue_keyframe(kf)
+        self._idle.set()
+        self.num_processed += 1
+
     # ------------------------------------------------------------------
     def mapping_with_new_keyframe(self, cur: Keyframe):
-        """One keyframe event (reference mapping_module.cc:148-243), with the
-        device work batched into TWO round trips instead of four:
+        """One keyframe event run synchronously (inline/deterministic mode,
+        System.feed_* with inline_mapping, and the pause/terminate drain).
+        The threaded run loop instead stages _event_start/_event_finish so
+        the grouped result fetch overlaps queue polling and the tracking
+        pipeline."""
+        self._event_finish(self._event_start(cur))
 
-        1. BoW transform + triangulation + BOTH fuse directions are
-           dispatched up front and materialized with ONE grouped fetch. The
-           fuse candidates are collected before the triangulation results
-           land, so freshly triangulated landmarks are fused one keyframe
-           late (they are in the next keyframe's covisibility targets; the
-           reference fuses them immediately, mapping_module.cc:417-443).
-        2. Local BA is dispatched here but fetched + written back on the
-           mapper's next idle tick (apply_pending_ba) — its result round
-           trip overlaps the tracking pipeline instead of blocking it.
-
-        The device landmark table is published ONCE per event (after the BA
-        writeback when BA ran): each publish costs the tracker a pipeline
-        drain bubble (~50-65 ms measured)."""
+    def _event_start(self, cur: Keyframe):
+        """Phase 1 of the keyframe event (reference mapping_module.cc:148-243,
+        re-staged for the tunneled device): settle the previous BA, cull
+        invalid landmarks, then dispatch ALL of the event's device work up
+        front — BoW transform + triangulation + BOTH fuse directions — and
+        hand the grouped result fetch to a worker thread. The fuse candidates
+        are collected before the triangulation results land, so freshly
+        triangulated landmarks are fused one keyframe late (they are in the
+        next keyframe's covisibility targets; the reference fuses them
+        immediately, mapping_module.cc:417-443)."""
         map_db = self.map_db
         self.apply_pending_ba()  # settle the previous keyframe's BA first
         # the previous event's fresh landmarks are covered by THIS event's
         # direction-2 fuse (prev keyframe is a top covisibility target)
         self._fresh_fuse = None
-        _t = [time.monotonic()]
-        _mark = lambda: _t.append(time.monotonic())
+        t0 = time.monotonic()
         # store: BoW for place recognition (mapping_module.cc
         # store_new_keyframe). Only the DISPATCH happens here.
         bow_dev = None
         if self.bow_db is not None and cur.id not in self.bow_db.bow_vecs:
             bow_dev = self.bow_db.vocab.transform(jnp.asarray(cur.feats.desc))
         self.cleaner.remove_invalid_landmarks(map_db, cur.id)
-        _mark()
+        t1 = time.monotonic()
         tri = self._dispatch_triangulation(cur)
         fuse_chunks = self._collect_fuse_chunks(cur)
-        _mark()
+        t2 = time.monotonic()
         handles = []
         if tri is not None:
             res, _ = tri
@@ -292,7 +342,25 @@ class MappingModule:
             handles.append(bow_dev)
         handles += [c[4] for c in fuse_chunks]
         handles += [c[5] for c in fuse_chunks]
-        fetched = list(fetch_all(*handles)) if handles else []
+        fut = self._event_fetch_pool.submit(fetch_all, *handles) \
+            if handles else None
+        return {"kf": cur, "fut": fut, "tri": tri,
+                "has_bow": bow_dev is not None, "fuse_chunks": fuse_chunks,
+                "t": (t0, t1, t2)}
+
+    def _event_finish(self, ev):
+        """Phase 2 of the keyframe event: land the grouped fetch, apply
+        triangulation/BoW/fuse results, refresh the covisibility graph,
+        dispatch local BA (writeback deferred to apply_pending_ba), cull
+        redundant keyframes, and publish the device landmark table ONCE
+        (each publish costs the tracker a pipeline drain bubble, ~50-65 ms
+        measured; when BA is in flight the publish rides its writeback)."""
+        cur: Keyframe = ev["kf"]
+        map_db = self.map_db
+        tri, fuse_chunks = ev["tri"], ev["fuse_chunks"]
+        _t = list(ev["t"])
+        _mark = lambda: _t.append(time.monotonic())
+        fetched = list(ev["fut"].result()) if ev["fut"] is not None else []
         _mark()
         _sub = [time.monotonic()]
         if tri is not None:
@@ -300,7 +368,7 @@ class MappingModule:
             fetched = fetched[3:]
             self._apply_triangulation(cur, tri[1], ok_all, pos_all, idx2_all)
         _sub.append(time.monotonic())
-        if bow_dev is not None:
+        if ev["has_bow"]:
             _, bow_vec = self.bow_db.vocab.words_to_bow(fetched[0], cur.h_valid)
             self.bow_db.add_keyframe(cur.id, bow_vec)
             fetched = fetched[1:]
