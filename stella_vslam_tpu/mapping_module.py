@@ -44,7 +44,12 @@ class MappingModule:
                  num_covisibilities_for_triangulation: int = 10,
                  queue_threshold: int = 2,
                  ba_K: int = 64, ba_L: int = 8192, ba_D: int = 12,
-                 enable_local_ba: bool = True):
+                 enable_local_ba: bool = True,
+                 max_num_local_keyfrms: int = 60,
+                 num_covisibilities_for_landmark_fusion: int = 10,
+                 baseline_dist_thr_ratio: float = 0.01,
+                 baseline_dist_thr: Optional[float] = None,
+                 num_temporal_keyframes: int = 15):
         self.map_db = map_db
         self.camera = camera
         self.orb_params = orb_params
@@ -52,6 +57,16 @@ class MappingModule:
         self.cleaner = LocalMapCleaner()
         self.num_covis_tri = num_covisibilities_for_triangulation
         self.queue_threshold = queue_threshold
+        self.max_num_local_keyfrms = max_num_local_keyfrms
+        self.num_covis_fuse = num_covisibilities_for_landmark_fusion
+        # mono parallax gate for triangulation neighbors: skip a neighbor
+        # when baseline/median_depth < ratio, or baseline < the absolute
+        # threshold when one is configured (reference mapping_module.cc:36-46,
+        # 286-300; reference ratio default 0.02 — 0.01 here keeps more early
+        # neighbors, which the batched triangulator handles at no extra cost)
+        self.baseline_dist_thr_ratio = baseline_dist_thr_ratio
+        self.baseline_dist_thr = baseline_dist_thr
+        self.num_temporal_keyframes = num_temporal_keyframes
         self.ba_K, self.ba_L, self.ba_D = ba_K, ba_L, ba_D
         # local-BA landmark-capacity buckets: small local problems (the
         # common case early in a sequence) run in a small compiled variant —
@@ -419,7 +434,9 @@ class MappingModule:
             # tracking-visible rows = covisibility-local map around the
             # newest keyframe (reference local_map_updater neighborhood);
             # when BA is in flight the publish rides with its writeback
-            map_db.refresh_device_table(center_kf_id=cur.id)
+            map_db.refresh_device_table(
+                center_kf_id=cur.id,
+                max_local_keyframes=self.max_num_local_keyfrms)
         _mark()
         _log.debug(
             "kf %d mapped in %.0f ms: cull=%.0f disp=%.0f fetch=%.0f "
@@ -429,12 +446,14 @@ class MappingModule:
 
     # ------------------------------------------------------------------
     def remove_temporal_keyframes(self, cur: Keyframe,
-                                  max_ephemeral_keyframes: int = 15):
+                                  max_ephemeral_keyframes: Optional[int] = None):
         """Temporal mapping: when a fixed-keyframe threshold is set (map was
         pre-loaded with enable_temporal_mapping), newly created keyframes are
         ephemeral — keep only the most recent ones
         (reference mapping_module.cc:210-237 queue-based eviction)."""
         map_db = self.map_db
+        if max_ephemeral_keyframes is None:
+            max_ephemeral_keyframes = self.num_temporal_keyframes
         thr = map_db.fixed_keyframe_id_threshold
         if thr < 0:
             return
@@ -466,7 +485,11 @@ class MappingModule:
                 continue
             baseline = np.linalg.norm(cur.cam_center - other.cam_center)
             if self.camera.setup.name == "MONOCULAR":
-                if median_depth > 0 and baseline / median_depth < 0.01:
+                if self.baseline_dist_thr is not None:
+                    if baseline < self.baseline_dist_thr:
+                        continue
+                elif (median_depth > 0
+                      and baseline / median_depth < self.baseline_dist_thr_ratio):
                     continue
             else:
                 if baseline < self.camera.true_baseline:
@@ -575,7 +598,7 @@ class MappingModule:
         matches the reference's sequential order. All id collection is
         vectorized over the keyframe association arrays + field store."""
         map_db = self.map_db
-        targets = cur.graph_node.get_top_n_covisibilities(10)
+        targets = cur.graph_node.get_top_n_covisibilities(self.num_covis_fuse)
         seconds = []
         for t in targets:
             kf = map_db.keyframes.get(t)
@@ -856,7 +879,9 @@ class MappingModule:
         # the deferred publish: tracking sees the keyframe event's whole
         # effect (new landmarks + fusion + BA) as ONE table version bump
         _t2 = time.monotonic()
-        map_db.refresh_device_table(center_kf_id=p["center"])
+        map_db.refresh_device_table(
+            center_kf_id=p["center"],
+            max_local_keyframes=self.max_num_local_keyfrms)
         self.local_ba_ms.append((time.monotonic() - p["t0"]) * 1e3)
         _log.debug("kf %d ba writeback: fetch=%.0f write=%.0f publish=%.0f ms",
                    p["center"], (_t1 - _t0) * 1e3, (_t2 - _t1) * 1e3,

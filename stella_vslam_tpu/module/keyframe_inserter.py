@@ -36,6 +36,25 @@ class KeyframeInserter:
         self.mapper = None  # set by system
         self.marker_hook = None  # set by system when markers are configured
 
+    @staticmethod
+    def from_yaml(camera, node: dict) -> "KeyframeInserter":
+        """Reference keyframe_inserter.cc:34-42 YAML surface.
+        (`wait_for_local_bundle_adjustment` deliberately collapses: local BA
+        here is a deferred device program overlapped with tracking, so
+        insertion never blocks on it — see config._COLLAPSED_KEYS.)"""
+        return KeyframeInserter(
+            camera,
+            max_interval=float(node.get("max_interval", 1.0)),
+            min_interval=float(node.get("min_interval", 0.1)),
+            max_distance=float(node.get("max_distance", -1.0)),
+            min_distance=float(node.get("min_distance", -1.0)),
+            lms_ratio_thr_almost_all_lms_are_tracked=float(
+                node.get("lms_ratio_thr_almost_all_lms_are_tracked", 0.9)),
+            lms_ratio_thr_view_changed=float(
+                node.get("lms_ratio_thr_view_changed", 0.5)),
+            enough_lms_thr=int(node.get("enough_lms_thr", 100)),
+        )
+
     def new_keyframe_is_needed(self, map_db, cur_frm: Frame, num_tracked: int,
                                last_inserted_time: float, ref_keyfrm,
                                num_reliable: int = None) -> bool:

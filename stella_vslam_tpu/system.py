@@ -61,14 +61,48 @@ class System:
             min_area=min_size, mask_rects=mask_rects,
             descriptor_pattern=self.descriptor_pattern,
         )
+        tr = cfg.section("Tracking")
         self.tracker = TrackingModule(
             self.map_db, self.camera, self.orb_params,
             use_fixed_seed=cfg.get("Initializer", "use_fixed_seed", False),
+            enable_auto_relocalization=bool(
+                tr.get("enable_auto_relocalization", True)),
+            margin_last_frame_projection=float(
+                tr.get("margin_last_frame_projection", 20.0)),
+            margin_local_map_projection=float(
+                tr.get("margin_local_map_projection", 5.0)),
+            margin_local_map_projection_unstable=float(
+                tr.get("margin_local_map_projection_unstable", 20.0)),
+            max_num_local_keyfrms=int(tr.get("max_num_local_keyfrms", 60)),
         )
         # inline mapping implies deterministic single-thread semantics all
         # the way down (the reference's DETERMINISTIC switch)
         self.tracker.synchronous = inline_mapping
-        self.mapper = MappingModule(self.map_db, self.camera, self.orb_params)
+        from stella_vslam_tpu.module.keyframe_inserter import KeyframeInserter
+        self.tracker.keyfrm_inserter = KeyframeInserter.from_yaml(
+            self.camera, cfg.section("KeyframeInserter"))
+        mp = cfg.section("Mapping")
+        self.mapper = MappingModule(
+            self.map_db, self.camera, self.orb_params,
+            num_covisibilities_for_triangulation=int(
+                mp.get("num_covisibilities_for_landmark_generation", 10)),
+            num_covisibilities_for_landmark_fusion=int(
+                mp.get("num_covisibilities_for_landmark_fusion", 10)),
+            baseline_dist_thr_ratio=float(
+                mp.get("baseline_dist_thr_ratio", 0.01)),
+            baseline_dist_thr=(
+                float(mp["baseline_dist_thr"])
+                if "baseline_dist_thr" in mp else None),
+            num_temporal_keyframes=int(mp.get("num_temporal_keyframes", 15)),
+            max_num_local_keyfrms=self.tracker.max_num_local_keyfrms,
+        )
+        # landmark/keyframe culling thresholds live in the Mapping section
+        # (reference local_map_cleaner.cc:9-14 reads the mapping yaml)
+        cl = self.mapper.cleaner
+        cl.redundant_obs_ratio_thr = float(
+            mp.get("redundant_obs_ratio_thr", 0.9))
+        cl.observed_ratio_thr = float(mp.get("observed_ratio_thr", 0.3))
+        cl.num_reliable_keyfrms = int(mp.get("num_reliable_keyfrms", 2))
         self.mapper.synchronous_ba = inline_mapping
         self.tracker.mapper = self.mapper
         self.tracker.keyfrm_inserter.mapper = self.mapper
@@ -84,8 +118,11 @@ class System:
         )
         self.bow_db = BowDatabase(self.bow_vocab)
         self.mapper.bow_db = self.bow_db
+        rl = cfg.section("Relocalizer")
         self.tracker.relocalizer = Relocalizer(
             self.camera, self.orb_params, self.bow_db,
+            min_num_bow_matches=int(rl.get("min_num_bow_matches", 20)),
+            min_num_valid_obs=int(rl.get("min_num_valid_obs", 50)),
             use_fixed_seed=cfg.get("Initializer", "use_fixed_seed", False),
         )
         from stella_vslam_tpu.camera.base import Setup as _Setup
@@ -202,6 +239,11 @@ class System:
         self._running = False
         self._rgbd_preprocess = None  # lazily-jitted fused RGBD program
 
+        # explicit config surface report: which YAML keys are live, which
+        # deliberately collapse into this framework's design (e.g. the
+        # g2o/gtsam backend selectors), which are unknown and ignored
+        cfg.log_collapse_report()
+
     # ------------------------------------------------------------------
     def startup(self, need_initialize: bool = True, warmup: Optional[bool] = None):
         """warmup=True pre-compiles/loads every steady-state device program
@@ -302,13 +344,14 @@ class System:
     def feed_monocular_frame(self, img, timestamp: float, mask=None):
         t0 = time.time()
         frm = self.create_monocular_frame(img, timestamp, mask)
+        t_ext = time.time() - t0
         pose = self.tracker.feed_frame(frm)
         if self.inline_mapping:
             self._drain_mapper_inline()
         else:
             self._yield_to_mapper()
         self.track_times.append(time.time() - t0)
-        self._publish(img, frm, pose)
+        self._publish(img, frm, pose, extraction_time_s=t_ext)
         return pose
 
     def _yield_to_mapper(self):
@@ -320,11 +363,16 @@ class System:
         if not self.mapper.is_idle():
             time.sleep(0.002)
 
-    def _publish(self, img, frm, pose):
+    def _publish(self, img, frm, pose, extraction_time_s: float = 0.0):
         # store references only — materialization happens on viewer pull
-        # (a blocking fetch here would cost a ~30 ms tunnel round trip)
+        # (a blocking fetch here would cost a ~30 ms tunnel round trip).
+        # extraction_time_ms is the host wall time of the frame-build
+        # dispatch (reference system.cc:540-543 publishes extraction wall
+        # time; here extraction runs async on-device, so dispatch wall time
+        # is the honest host-side analog)
         self.frame_publisher.update(
             img, frm, self.tracker.state,
+            extraction_time_ms=extraction_time_s * 1000.0,
             tracking_time_ms=self.track_times[-1] * 1000.0,
         )
         if pose is not None:
@@ -352,13 +400,14 @@ class System:
     def feed_stereo_frame(self, img_left, img_right, timestamp: float, mask=None):
         t0 = time.time()
         frm = self.create_stereo_frame(img_left, img_right, timestamp, mask)
+        t_ext = time.time() - t0
         pose = self.tracker.feed_frame(frm)
         if self.inline_mapping:
             self._drain_mapper_inline()
         else:
             self._yield_to_mapper()
         self.track_times.append(time.time() - t0)
-        self._publish(img_left, frm, pose)
+        self._publish(img_left, frm, pose, extraction_time_s=t_ext)
         return pose
 
     def create_RGBD_frame(self, img, depth, timestamp: float, mask=None) -> Frame:
@@ -406,13 +455,14 @@ class System:
     def feed_RGBD_frame(self, img, depth, timestamp: float, mask=None):
         t0 = time.time()
         frm = self.create_RGBD_frame(img, depth, timestamp, mask)
+        t_ext = time.time() - t0
         pose = self.tracker.feed_frame(frm)
         if self.inline_mapping:
             self._drain_mapper_inline()
         else:
             self._yield_to_mapper()
         self.track_times.append(time.time() - t0)
-        self._publish(img, frm, pose)
+        self._publish(img, frm, pose, extraction_time_s=t_ext)
         return pose
 
     @staticmethod

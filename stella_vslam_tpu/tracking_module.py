@@ -149,12 +149,23 @@ class TrackingModule:
                  enable_auto_relocalization: bool = True,
                  use_fixed_seed: bool = False,
                  num_matches_thr: int = 10,
-                 min_num_tracked_lms: int = 20):
+                 min_num_tracked_lms: int = 20,
+                 margin_last_frame_projection: float = 20.0,
+                 margin_local_map_projection: float = 5.0,
+                 margin_local_map_projection_unstable: float = 20.0,
+                 max_num_local_keyfrms: int = 60):
         self.map_db = map_db
         self.camera = camera
         self.orb_params = orb_params
-        self.kernels = TrackingKernels(camera, orb_params,
-                                       num_matches_thr=num_matches_thr)
+        self.kernels = TrackingKernels(
+            camera, orb_params, num_matches_thr=num_matches_thr,
+            margin_last=margin_last_frame_projection,
+            margin_local=margin_local_map_projection,
+            margin_local_unstable=margin_local_map_projection_unstable)
+        # reference Tracking.max_num_local_keyfrms (tracking_module.cc:32):
+        # caps the covisibility neighborhood whose landmarks are
+        # tracking-visible in the device table
+        self.max_num_local_keyfrms = max_num_local_keyfrms
         self.initializer = Initializer(camera, orb_params, use_fixed_seed=use_fixed_seed)
         self.keyfrm_inserter = KeyframeInserter(camera)
         self.relocalizer = None  # wired by system
@@ -388,7 +399,9 @@ class TrackingModule:
                     self.ref_keyfrm_id = frm.ref_keyfrm_id
                 # re-center the tracking-visible local map on the keyframe we
                 # relocalized against (the old center may be far away)
-                self.map_db.refresh_device_table(center_kf_id=self.ref_keyfrm_id)
+                self.map_db.refresh_device_table(
+                    center_kf_id=self.ref_keyfrm_id,
+                    max_local_keyframes=self.max_num_local_keyfrms)
                 self._set_chain_from_frame(frm)
                 self.twist = None
                 self._dev_pose = None

@@ -65,6 +65,10 @@ def test_threaded_tracks_and_maps(threaded_run):
     assert getattr(sys_.mapper, "_event", None) is None
     assert sys_.mapper._queue.empty()
     assert sys_.mapper.num_processed >= 2
+    # publisher timing parity (reference system.cc:540-543): extraction and
+    # tracking wall times are populated per frame
+    assert sys_.frame_publisher.extraction_time_ms > 0.0
+    assert sys_.frame_publisher.tracking_time_ms > 0.0
 
 
 def test_threaded_ate(threaded_run):
