@@ -81,8 +81,9 @@ def main():
     # return leg cannot silently re-acquire it and only the loop-closing
     # path can stitch the seam). Bench scaffolding, excluded from timing.
     slam.pause_other_threads()
-    inject_segment_drift(slam, tx_metric=0.50, yaw_deg=2.5, cutoff_frac=0.2,
-                         gt_span_metric=7.5)
+    old_kfs, _ = inject_segment_drift(
+        slam, tx_metric=0.50, yaw_deg=2.5, cutoff_frac=0.2,
+        gt_span_metric=7.5)
     slam.resume_other_threads()
 
     for (x, y) in turn_xy + back_xy + slow_xy:
@@ -133,10 +134,23 @@ def main():
     ba_opportunities = len(ba_ms) + n_skips
 
     n_created = slam.mapper.num_processed
+    # seam diagnostics: how the injected drift was resolved — loop closure
+    # (wanted) vs silent bridging (a moved landmark re-observed by a
+    # post-injection keyframe) or relocalization into the moved segment
+    max_old = max(old_kfs)
+    moved = getattr(slam, "_injected_moved", set())
+    bridges = 0
+    for lm_id in moved:
+        lm = slam.map_db.landmarks.get(lm_id)
+        if lm is None or lm.will_be_erased:
+            continue
+        bridges += sum(1 for k in lm.observations
+                       if k not in old_kfs and k > max_old)
     sys.stderr.write(
         f"tracked {tracked}/{n_frames} frames ({lost} lost after init), "
         f"ATE {ate*1000:.0f} mm, kfs={n_kfs} ({n_created} created), "
         f"lms={n_lms}, loops={slam.global_optimizer.num_loops_closed}, "
+        f"relocs={slam.tracker.num_relocalizations}, bridges={bridges}, "
         f"median {med*1000:.1f} ms, mean {mean*1000:.1f} ms, "
         f"local BA {np.mean(ba_ms):.0f} ms/kf (n={len(ba_ms)}, "
         f"skips={n_skips})\n"

@@ -205,6 +205,10 @@ class Relocalizer:
             return False
 
         # success: write pose + associations
+        self._commit(frm, kf, R_np, t_np, matched, assoc_ids)
+        return True
+
+    def _commit(self, frm, kf, R_np, t_np, matched, assoc_ids):
         T = np.eye(4)
         T[:3, :3] = R_np
         T[:3, 3] = t_np
@@ -213,6 +217,70 @@ class Relocalizer:
         for f_slot in np.nonzero(matched & (assoc_ids >= 0))[0]:
             frm.lm_ids[f_slot] = assoc_ids[f_slot]
         frm.ref_keyfrm_id = kf.id
+
+    # ------------------------------------------------------------------
+    def reloc_by_pose_hint(self, map_db, frm, pose_cw, kf) -> bool:
+        """Pose-hint relocalization (reference system.cc:604-624 +
+        map_database::get_close_keyframes): the frame is seated AT the
+        supplied pose and the map is re-acquired by PROJECTION of the nearby
+        keyframe's landmarks — no BoW, no PnP. Succeeds only when the local
+        map around that keyframe yields enough matches at the hinted pose."""
+        pose_cw = np.asarray(pose_cw, np.float64)
+        R_np, t_np = pose_cw[:3, :3], pose_cw[:3, 3]
+        kf_pos = np.zeros((kf.num_slots, 3), np.float32)
+        kf_has = np.zeros(kf.num_slots, bool)
+        for i in np.nonzero(kf.lm_ids >= 0)[0]:
+            lm = map_db.landmarks.get(int(kf.lm_ids[i]))
+            if lm is None or lm.will_be_erased:
+                continue
+            kf_pos[i] = lm.pos_w
+            kf_has[i] = True
+        if kf_has.sum() < self.min_num_bow_matches:
+            return False
+        uv, _, vis = self.camera.reproject(
+            jnp.asarray(R_np.astype(np.float32)),
+            jnp.asarray(t_np.astype(np.float32)), jnp.asarray(kf_pos))
+        n = frm.num_slots
+        pos = np.zeros((n, 3), np.float32)
+        matched = np.zeros(n, bool)
+        assoc_ids = np.full(n, -1, np.int64)
+        # generous margin: the hint may be off by the caller's odometric error
+        p_idx, p_acc, _ = proj_match.match_frame_and_keyframe(
+            frm.undist_xy, frm.feats.level, frm.feats.desc, frm.feats.valid,
+            frm.feats.angle, jnp.asarray(matched),
+            kf.feats.desc, uv, kf.feats.level, kf.feats.angle,
+            jnp.asarray(kf_has) & vis,
+            scale_factors=self.scale_factors, num_levels=self.orb.num_levels,
+            margin=20.0,
+        )
+        pa, pi = np.asarray(p_acc), np.asarray(p_idx)
+        for kf_slot in np.nonzero(pa)[0]:
+            f_slot = pi[kf_slot]
+            if not matched[f_slot]:
+                pos[f_slot] = kf_pos[kf_slot]
+                matched[f_slot] = True
+                assoc_ids[f_slot] = kf.lm_ids[kf_slot]
+        if matched.sum() < self.min_num_bow_matches:
+            return False
+        opt = pose_opt.optimize_pose(
+            jnp.asarray(R_np.astype(np.float32)),
+            jnp.asarray(t_np.astype(np.float32)), jnp.asarray(pos),
+            frm.undist_xy, frm.x_right,
+            H.take_small_table(self.inv_sigma_sq, frm.feats.level),
+            jnp.asarray(matched), self.cam_scalars, model=self.model,
+        )
+        num_h, inl_h, R_h, t_h = fetch_all(
+            opt.num_inliers, opt.is_inlier, opt.R_cw, opt.t_cw)
+        if int(num_h) < self.min_num_bow_matches:
+            return False
+        matched = matched & np.asarray(inl_h)
+        R_np = np.asarray(R_h, np.float64)
+        t_np = np.asarray(t_h, np.float64)
+        ok, R_np, t_np, matched, pos, assoc_ids = self._refine_by_local_map(
+            map_db, frm, kf, R_np, t_np, pos, matched, assoc_ids)
+        if not ok:
+            return False
+        self._commit(frm, kf, R_np, t_np, matched, assoc_ids)
         return True
 
     # ------------------------------------------------------------------

@@ -75,6 +75,11 @@ class System:
                 tr.get("margin_local_map_projection_unstable", 20.0)),
             max_num_local_keyfrms=int(tr.get("max_num_local_keyfrms", 60)),
         )
+        # proximity thresholds for relocalize_by_pose(_2d)
+        # (reference tracking_module.cc:26-27)
+        self._reloc_distance_thr = float(
+            tr.get("reloc_distance_threshold", 0.2))
+        self._reloc_angle_thr = float(tr.get("reloc_angle_threshold", 0.45))
         # inline mapping implies deterministic single-thread semantics all
         # the way down (the reference's DETERMINISTIC switch)
         self.tracker.synchronous = inline_mapping
@@ -551,30 +556,47 @@ class System:
     def resume_tracker(self):
         self.tracker.pause_is_requested = False
 
-    def relocalize_by_pose(self, pose_cw: np.ndarray) -> bool:
-        """External pose-hint recovery: find keyframes near the given pose and
-        retry tracking from there (reference system.cc:604-624 +
-        map_database get_close_keyframes)."""
+    def relocalize_by_pose(self, cam_pose_wc: np.ndarray) -> bool:
+        """External pose-hint recovery (reference system.cc:604-612 +
+        tracking_module.cc:385-399): the tracker is re-seated AT the given
+        world->camera pose — the next frame projection-matches nearby
+        keyframes' landmarks from that pose (no BoW) and resumes Tracking on
+        success, staying Lost only when the local map yields no matches
+        there. Takes cam_pose_wc (camera-to-world) like the reference API."""
+        pose_cw = np.linalg.inv(np.asarray(cam_pose_wc, np.float64))
         close = self.map_db.get_close_keyframes(
-            np.asarray(pose_cw), distance_thr=2.0, angle_thr=np.deg2rad(45.0)
+            pose_cw,
+            distance_thr=self._reloc_distance_thr,
+            angle_thr=self._reloc_angle_thr,
         )
         if not close:
             return False
-        self.tracker.ref_keyfrm_id = close[0].id
-        self.tracker.state = "Lost"
-        self.tracker.twist = None
-        return True
+        return self._seat_pose_hint(pose_cw, close)
 
-    def relocalize_by_pose_2d(self, pose_cw: np.ndarray, normal: np.ndarray) -> bool:
+    def relocalize_by_pose_2d(self, cam_pose_wc: np.ndarray,
+                              normal: np.ndarray) -> bool:
+        pose_cw = np.linalg.inv(np.asarray(cam_pose_wc, np.float64))
         close = self.map_db.get_close_keyframes_2d(
-            np.asarray(pose_cw), np.asarray(normal),
-            distance_thr=2.0, angle_thr=np.deg2rad(45.0),
+            pose_cw, np.asarray(normal),
+            distance_thr=self._reloc_distance_thr,
+            angle_thr=self._reloc_angle_thr,
         )
         if not close:
             return False
-        self.tracker.ref_keyfrm_id = close[0].id
-        self.tracker.state = "Lost"
-        self.tracker.twist = None
+        return self._seat_pose_hint(pose_cw, close)
+
+    def _seat_pose_hint(self, pose_cw, close_kfs) -> bool:
+        tr = self.tracker
+        tr.finalize_pending()
+        tr.ref_keyfrm_id = close_kfs[0].id
+        # make the hinted neighborhood tracking-visible before the attempt
+        self.map_db.refresh_device_table(
+            center_kf_id=close_kfs[0].id,
+            max_local_keyframes=tr.max_num_local_keyfrms)
+        tr._pose_hint = (np.asarray(pose_cw, np.float64),
+                         [kf.id for kf in close_kfs])
+        tr.state = "Lost"
+        tr.twist = None
         return True
 
     def enable_temporal_mapping(self):

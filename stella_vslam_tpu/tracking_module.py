@@ -166,6 +166,14 @@ class TrackingModule:
         # caps the covisibility neighborhood whose landmarks are
         # tracking-visible in the device table
         self.max_num_local_keyfrms = max_num_local_keyfrms
+        # reference Tracking.enable_auto_relocalization (cc:29): when false,
+        # a Lost tracker waits for an external relocalize_by_pose request
+        # instead of running the BoW cascade on every frame
+        self.enable_auto_relocalization = enable_auto_relocalization
+        # external pose-hint relocalization request (reference
+        # system.cc:604-624): (pose_cw, candidate keyframe ids), consumed by
+        # the next Lost-state frame
+        self._pose_hint = None
         self.initializer = Initializer(camera, orb_params, use_fixed_seed=use_fixed_seed)
         self.keyfrm_inserter = KeyframeInserter(camera)
         self.relocalizer = None  # wired by system
@@ -180,6 +188,7 @@ class TrackingModule:
         self.last_keyfrm_time = 0.0
         self.init_time = 0.0
         self.last_reloc_frm_id = -10
+        self.num_relocalizations = 0  # successful BoW relocalizations
         self.num_tracked_lms = 0
         self.mapping_is_enabled = True
         # reference tracking pause protocol (tracking_module.cc:127-130);
@@ -395,6 +404,7 @@ class TrackingModule:
             if ok:
                 self.state = STATE_TRACKING
                 self.last_reloc_frm_id = frm.id
+                self.num_relocalizations += 1
                 if frm.ref_keyfrm_id is not None:
                     self.ref_keyfrm_id = frm.ref_keyfrm_id
                 # re-center the tracking-visible local map on the keyframe we
@@ -1149,4 +1159,19 @@ class TrackingModule:
     def _relocalize(self, frm: Frame) -> bool:
         if self.relocalizer is None:
             return False
+        hint, self._pose_hint = self._pose_hint, None
+        if hint is not None:
+            # pose-hint path (reference system.cc:604-624): seat the frame
+            # AT the supplied pose and re-acquire the local map by
+            # projection — no BoW. Tried against each nearby keyframe.
+            pose_cw, kf_ids = hint
+            for kid in kf_ids:
+                kf = self.map_db.keyframes.get(kid)
+                if kf is None or kf.will_be_erased:
+                    continue
+                if self.relocalizer.reloc_by_pose_hint(
+                        self.map_db, frm, pose_cw, kf):
+                    return True
+        if hint is None and not self.enable_auto_relocalization:
+            return False  # stay Lost until an external request arrives
         return self.relocalizer.relocalize(self.map_db, frm)
