@@ -50,8 +50,9 @@ class GraphNode:
             if other is not None:
                 other.graph_node.connections[kf.id] = w
                 other.graph_node._sort_connections()
-        # spanning tree: attach to the strongest connection once
-        if self.spanning_parent is None and kf.id != map_db.origin_keyfrm_id:
+        # spanning tree: attach to the strongest connection once (component
+        # roots never get a parent — they anchor their spanning tree)
+        if self.spanning_parent is None and kf.id not in map_db.spanning_roots:
             parent = map_db.keyframes.get(best_id)
             if parent is not None:
                 self.spanning_parent = best_id

@@ -13,6 +13,7 @@ per frame (host->device transfers cost ~3-50 ms on the target stack).
 """
 from __future__ import annotations
 
+import logging
 import threading
 from typing import Dict, NamedTuple, Optional
 
@@ -22,6 +23,8 @@ import numpy as np
 
 from stella_vslam_tpu.data.keyframe import Keyframe
 from stella_vslam_tpu.data.landmark import Landmark
+
+_log = logging.getLogger(__name__)
 
 
 class LandmarkFieldStore:
@@ -354,7 +357,11 @@ class MapDatabase:
         self._next_keyfrm_id = 0
         self._next_landmark_id = 0
         self.min_num_shared_lms = min_num_shared_lms
-        self.origin_keyfrm_id: Optional[int] = None
+        # spanning roots, one per connected map component (reference
+        # map_database.h:353 keeps a VECTOR of roots so a loaded map and
+        # newly-initialized submaps coexist; graph_node.cc:435
+        # get_keyframes_from_root walks one component)
+        self.spanning_roots: list = []
         # temporal mapping: keyframes with id <= fixed threshold are frozen
         self.fixed_keyframe_id_threshold = -1
         # bumped on clear/loop-correction; deferred writebacks carry the
@@ -395,8 +402,76 @@ class MapDatabase:
                 self.assoc_store.register_keyframe(kf.id, kf.h_desc, kf.h_level)
             except Exception:
                 pass  # keyframes without host mirrors fall back to Python stats
-            if self.origin_keyfrm_id is None:
-                self.origin_keyfrm_id = kf.id
+            if not self.spanning_roots:
+                self.spanning_roots.append(kf.id)
+
+    @property
+    def origin_keyfrm_id(self) -> Optional[int]:
+        """First spanning root (single-map compatibility view)."""
+        return self.spanning_roots[0] if self.spanning_roots else None
+
+    @origin_keyfrm_id.setter
+    def origin_keyfrm_id(self, v: Optional[int]):
+        if v is None:
+            self.spanning_roots = []
+        elif not self.spanning_roots:
+            self.spanning_roots = [v]
+        else:
+            self.spanning_roots[0] = v
+
+    def add_spanning_root(self, kf_id: int):
+        """Register a new map component's root (reference
+        map_database.cc:102-105)."""
+        with self.lock:
+            if kf_id not in self.spanning_roots:
+                self.spanning_roots.append(kf_id)
+
+    def get_spanning_root_of(self, kf_id: int) -> Optional[int]:
+        """Walk spanning parents to this keyframe's component root
+        (reference graph_node.cc:396-413)."""
+        with self.lock:
+            seen = set()
+            cur = kf_id
+            while cur is not None and cur not in seen:
+                seen.add(cur)
+                kf = self.keyframes.get(cur)
+                if kf is None:
+                    return None
+                parent = kf.graph_node.spanning_parent
+                if parent is None:
+                    return cur
+                cur = parent
+            return cur
+
+    def get_keyframes_from_root(self, root_id: int) -> list:
+        """All keyframes of one component, by spanning-tree walk from its
+        root (reference graph_node.cc:435-451)."""
+        with self.lock:
+            out, stack = [], [root_id]
+            seen = set()
+            while stack:
+                kid = stack.pop()
+                if kid in seen:
+                    continue
+                seen.add(kid)
+                kf = self.keyframes.get(kid)
+                if kf is None:
+                    continue
+                out.append(kf)
+                stack.extend(kf.graph_node.spanning_children)
+            return out
+
+    def rebuild_spanning_roots(self):
+        """Recompute the root list by walking every keyframe's parents —
+        used after map load, where the file may carry several components
+        (reference map_database.cc:310-322, 528-541)."""
+        with self.lock:
+            roots = []
+            for kid in self.keyframes:
+                r = self.get_spanning_root_of(kid)
+                if r is not None and r not in roots:
+                    roots.append(r)
+            self.spanning_roots = sorted(roots)
 
     def add_landmark(self, lm: Landmark):
         with self.lock:
@@ -451,6 +526,11 @@ class MapDatabase:
         with self.lock:
             kf = self.keyframes.get(kf_id)
             if kf is None:
+                return
+            if kf_id in self.spanning_roots:
+                # reference keyframe.cc:613-617: a component's root anchors
+                # its spanning tree and cannot be erased
+                _log.warning("cannot erase spanning root %d", kf_id)
                 return
             kf.will_be_erased = True
             # trajectory forwarding: frames whose reference keyframe is

@@ -419,7 +419,7 @@ class GlobalOptimizationModule:
         # a fresh 20-60 s compile while the mapper is paused, mid-run
         Kp = 1 << int(np.ceil(np.log2(max(K, 16))))
         Ep = 1 << int(np.ceil(np.log2(max(E, 16))))
-        fixed = np.array([k == map_db.origin_keyfrm_id for k in kf_ids])
+        fixed = np.array([k in map_db.spanning_roots for k in kf_ids])
         valid = np.zeros(Kp, bool)
         valid[:K] = True
         evalid = np.zeros(Ep, bool)
@@ -649,7 +649,7 @@ class GlobalOptimizationModule:
                 cam_t[i] = kf.trans_cw
                 cam_valid[i] = True
                 cam_fixed[i] = (
-                    k == map_db.origin_keyfrm_id
+                    k in map_db.spanning_roots
                     or k <= map_db.fixed_keyframe_id_threshold
                 )
             lm_pos = np.zeros((L, 3), np.float32)

@@ -101,7 +101,12 @@ def _dict_to_map(system, d: dict):
                 lm.add_observation(int(kf_id), int(idx))
                 kf.lm_ids[int(idx)] = lm.id
             map_db.add_landmark(lm)
-        map_db.origin_keyfrm_id = d.get("origin_keyfrm_id")
+        # roots: one per connected component, found by walking the restored
+        # spanning parents (reference map_database.cc:310-322 / 528-541) —
+        # a loaded file may carry several submaps (multi-root)
+        map_db.rebuild_spanning_roots()
+        if not map_db.spanning_roots and d.get("origin_keyfrm_id") is not None:
+            map_db.spanning_roots = [d["origin_keyfrm_id"]]
         map_db._next_keyfrm_id = d.get("keyframe_next_id", len(map_db.keyframes))
         map_db._next_landmark_id = d.get("landmark_next_id", len(map_db.landmarks))
         # rebuild derived state

@@ -952,7 +952,7 @@ class MappingModule:
             cam_valid[s] = True
             is_fixed = (
                 kf_id in fixed_ids
-                or kf_id == map_db.origin_keyfrm_id
+                or kf_id in map_db.spanning_roots
                 or kf_id <= map_db.fixed_keyframe_id_threshold
             )
             cam_fixed[s] = is_fixed

@@ -55,7 +55,7 @@ class LocalMapCleaner:
             kf = map_db.keyframes.get(kf_id)
             if kf is None or kf.will_be_erased or not kf.can_be_erased():
                 continue
-            if kf.id == map_db.origin_keyfrm_id:
+            if kf.id in map_db.spanning_roots:
                 continue
             if kf.id <= map_db.fixed_keyframe_id_threshold:
                 continue

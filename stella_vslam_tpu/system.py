@@ -599,6 +599,15 @@ class System:
         tr.twist = None
         return True
 
+    def start_new_submap(self):
+        """Keep the existing map (e.g. one just loaded) and initialize a NEW
+        map component from the next frames: its origin becomes an additional
+        spanning root; both components stay walkable via
+        map_db.get_keyframes_from_root (reference multi-root
+        map_database.h:346-362, graph_node.cc:435)."""
+        self.tracker.finalize_pending()
+        self.tracker.reset(clear_map=False)
+
     def enable_temporal_mapping(self):
         """Freeze pre-loaded keyframes; new keyframes become ephemeral
         (reference system.cc:364-366, map_database.h:361-362 +
@@ -623,13 +632,25 @@ class System:
         transforms when available, so keyframe refinements (local/global BA,
         loop closure) propagate into the exported trajectory
         (reference frame_statistics + trajectory_io)."""
+        md = self.map_db
         out = []
         for entry in self.tracker.finalized:
             fid, ts, pose, ref, rel = entry
             if pose is not None and rel is not None and ref is not None:
-                kf = self.map_db.keyframes.get(ref)
-                if kf is not None:
-                    pose = rel @ kf.pose_cw
+                # the reference keyframe may have been culled: chain through
+                # the forwarding transforms captured at erase time until a
+                # live ancestor is found (reference trajectory_io.cc:40-57
+                # walks the spanning tree the same way)
+                T_acc, cur, seen = rel, ref, set()
+                while (cur is not None and cur not in md.keyframes
+                       and cur in md.erased_kf_forward and cur not in seen):
+                    seen.add(cur)
+                    parent, T_fwd = md.erased_kf_forward[cur]
+                    T_acc = T_acc @ T_fwd
+                    cur = parent
+                kf = md.keyframes.get(cur)
+                if kf is not None and not kf.will_be_erased:
+                    pose = T_acc @ kf.pose_cw
             out.append((ts, pose, ref, fid))
         return out
 

@@ -979,14 +979,18 @@ class TrackingModule:
         self._kf_for_assoc = kf
 
     # ------------------------------------------------------------------
-    def reset(self):
+    def reset(self, clear_map: bool = True):
         # safe from both the caller thread and the finalize thread (RLock);
-        # notify wakes any bound-wait in feed_frame / finalize_pending
+        # notify wakes any bound-wait in feed_frame / finalize_pending.
+        # clear_map=False keeps the existing map and re-enters
+        # Initializing: the next initialization founds a NEW submap whose
+        # origin becomes an additional spanning root (reference multi-root
+        # map_database.h:346-362)
         with self._cond:
-            self._reset_locked()
+            self._reset_locked(clear_map)
             self._cond.notify_all()
 
-    def _reset_locked(self):
+    def _reset_locked(self, clear_map: bool = True):
         self._pending = []
         self._batch = []
         self._discard_pending = False
@@ -998,7 +1002,8 @@ class TrackingModule:
         self._chain_anchor = None
         self._last_rel = None
         self._prev_host_pose = None
-        self.map_db.clear()
+        if clear_map:
+            self.map_db.clear()
         self.initializer.reset()
         self.state = STATE_INITIALIZING
         self.last_frm = None
@@ -1023,6 +1028,10 @@ class TrackingModule:
         init = self.initializer
         ref_frm = init.init_frame
         map_db = self.map_db
+        # initializing over a non-empty map founds a NEW component: its
+        # origin is an additional spanning root, both graphs stay walkable
+        # (reference multi-root map_database.h:346-362)
+        fresh_map = map_db.num_keyframes() == 0
 
         ref_frm.set_pose_cw(np.eye(4))
         T = np.eye(4)
@@ -1032,6 +1041,8 @@ class TrackingModule:
 
         ref_kf = Keyframe(ref_frm, map_db)
         map_db.add_keyframe(ref_kf)
+        if not fresh_map:
+            map_db.add_spanning_root(ref_kf.id)
         cur_kf = Keyframe(cur_frm, map_db)
         map_db.add_keyframe(cur_kf)
 
@@ -1055,7 +1066,16 @@ class TrackingModule:
             lm.update_mean_normal_and_obs_scale_variance(map_db)
             created += 1
         if created < 20:
-            map_db.clear()
+            if fresh_map:
+                map_db.clear()
+            else:
+                # surgical undo: drop only this submap attempt's objects
+                for lm_id in [lm_id for lm_id, lm in map_db.landmarks.items()
+                              if lm.first_keyfrm_id == ref_kf.id]:
+                    map_db.erase_landmark(lm_id)
+                map_db.spanning_roots.remove(ref_kf.id)
+                map_db.erase_keyframe(cur_kf.id)
+                map_db.erase_keyframe(ref_kf.id)
             init.reset()
             return False
         ref_kf.graph_node.update_connections(map_db)
@@ -1067,7 +1087,14 @@ class TrackingModule:
         self.ref_keyfrm_id = cur_kf.id
         cur_frm.ref_keyfrm_id = cur_kf.id
         self.last_keyfrm_time = cur_frm.timestamp
-        map_db.refresh_device_table()
+        if fresh_map:
+            map_db.refresh_device_table()
+        else:
+            # tracking-visible rows = the new submap only (the old
+            # component's landmarks live in a different gauge)
+            map_db.refresh_device_table(
+                center_kf_id=cur_kf.id,
+                max_local_keyframes=self.max_num_local_keyfrms)
         if self.mapper is not None:
             self.mapper.async_add_keyframe(ref_kf)
             self.mapper.async_add_keyframe(cur_kf)
@@ -1084,7 +1111,10 @@ class TrackingModule:
 
     def _init_map_ba(self, kf1: Keyframe, kf2: Keyframe):
         map_db = self.map_db
-        lm_ids = sorted(map_db.landmarks.keys())
+        # only the two init keyframes' landmarks: the database may also
+        # carry a previously-loaded map (multi-root submap initialization)
+        lm_ids = sorted({int(i) for i in kf1.lm_ids if i >= 0}
+                        | {int(i) for i in kf2.lm_ids if i >= 0})
         L = self._init_ba_capacity(kf1.num_slots)
         lm_ids = lm_ids[:L]  # cannot exceed L (<= one landmark per slot)
         D = 2
@@ -1141,8 +1171,12 @@ class TrackingModule:
         if (depths > 0).sum() < 50:
             return False
         cur_frm.set_pose_cw(np.eye(4))
+        fresh_map = self.map_db.num_keyframes() == 0
         kf = Keyframe(cur_frm, self.map_db)
         self.map_db.add_keyframe(kf)
+        if not fresh_map:
+            # new component founded over a kept map (multi-root)
+            self.map_db.add_spanning_root(kf.id)
         self.keyfrm_inserter._seed_depth_landmarks(self.map_db, kf)
         cur_frm.lm_ids[:] = kf.lm_ids
         kf.graph_node.update_connections(self.map_db)
