@@ -29,6 +29,83 @@ import time
 import numpy as np
 
 
+def run_stereo():
+    """Stereo certification (BASELINE.md targets mono AND stereo;
+    reference system.cc:426-470): 640-frame out-and-back over the plane
+    world with a baseline-shifted right camera. Reports throughput and
+    METRIC-scale accuracy — stereo fixes the gauge, so ATE uses rigid
+    (no-scale) alignment and the trajectory length must match ground truth
+    without any similarity fit."""
+    from synthetic_world import PlaneWorld
+
+    from stella_vslam_tpu.config import Config
+    from stella_vslam_tpu.system import System
+    from stella_vslam_tpu.util.drift import pose_at_xy
+
+    world = PlaneWorld(width=752, height=480, fx=458.0, fy=458.0, depth=4.0,
+                       tex_size=4096, meters_per_px=0.008)
+    baseline = 0.12
+    cam = world.camera_yaml()
+    cam["setup"] = "stereo"
+    cam["focal_x_baseline"] = world.fx * baseline
+    cfg = Config.from_dict({
+        "Camera": cam,
+        "Feature": {"num_levels": 8},
+        "Initializer": {"use_fixed_seed": True},
+    })
+    slam = System(cfg, inline_mapping=os.environ.get("BENCH_INLINE", "0") == "1")
+    slam.startup()
+    out_xy = [(i * 0.015, 0.0) for i in range(400)]            # 0 -> 6 m
+    back_xy = [(6.0 - i * 0.015, 0.8) for i in range(1, 241)]  # return, fresh rows
+    gt_xy = out_xy + back_xy
+    Tb = np.eye(4)
+    Tb[0, 3] = -baseline
+    frame_times = []
+    t = 0.0
+    for (x, y) in gt_xy:
+        T = pose_at_xy(x, y)
+        img_l = world.render(T)
+        img_r = world.render(Tb @ T)
+        t0 = time.time()
+        slam.feed_stereo_frame(img_l, img_r, t)
+        frame_times.append(time.time() - t0)
+        t += 0.05
+    slam.shutdown()
+    steady = np.asarray(frame_times[30:])
+    fps = 1.0 / float(np.mean(steady))
+    results = slam.frame_poses
+    first = next(i for i, (_, p, _, _) in enumerate(results) if p is not None)
+    lost = sum(1 for (_, p, _, _) in results[first:] if p is None)
+    est, gt = [], []
+    for (_, pose, _, fid) in results:
+        if pose is None:
+            continue
+        est.append(-pose[:3, :3].T @ pose[:3, 3])
+        gt.append([gt_xy[fid][0], gt_xy[fid][1], 0.0])
+    est, gt = np.asarray(est), np.asarray(gt)
+    # rigid SE3 alignment (rotation+translation, NO scale): stereo is metric
+    mu_e, mu_g = est.mean(0), gt.mean(0)
+    cov = (gt - mu_g).T @ (est - mu_e) / len(est)
+    U, S, Vt = np.linalg.svd(cov)
+    D = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
+    R = U @ D @ Vt
+    aligned = (R @ (est - mu_e).T).T + mu_g
+    ate = float(np.sqrt(np.mean(np.sum((aligned - gt) ** 2, 1))))
+    len_est = float(np.linalg.norm(np.diff(est, axis=0), axis=1).sum())
+    len_gt = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
+    scale_err = abs(len_est - len_gt) / len_gt
+    sys.stderr.write(
+        f"stereo: tracked {len(est)}/{len(gt_xy)} ({lost} lost after init), "
+        f"metric ATE {ate*1000:.0f} mm (rigid align), scale err "
+        f"{scale_err*100:.1f}%, {fps:.1f} FPS, "
+        f"kfs={slam.map_db.num_keyframes()}\n")
+    assert lost <= 8, f"stereo: {lost} frames lost after init"
+    assert scale_err < 0.05, f"stereo scale error {scale_err:.1%} (metric!)"
+    assert ate < 0.25, f"stereo metric ATE {ate:.3f} m"
+    return {"stereo_fps": round(fps, 2), "stereo_ate_mm": round(ate * 1e3),
+            "stereo_scale_err_pct": round(scale_err * 100, 2)}
+
+
 def main():
     sys.path.insert(0, "tests")
     from synthetic_world import PlaneWorld, umeyama_align
@@ -174,12 +251,16 @@ def main():
     # local-BA keep-up (BASELINE.md: report ms/keyframe; no sustained skip)
     assert ba_opportunities > 0 and n_skips <= 0.2 * ba_opportunities, (
         f"sustained local-BA skip: {n_skips}/{ba_opportunities}")
+    stereo = {}
+    if os.environ.get("BENCH_SKIP_STEREO", "0") != "1":
+        stereo = run_stereo()
     print(json.dumps({
         "metric": "mono SLAM throughput (synthetic 752x480, 1180-frame "
                   "revisit loop, end-to-end)",
         "value": round(fps, 2),
         "unit": "FPS",
         "vs_baseline": round(fps / 60.0, 3),
+        **stereo,
     }))
 
 

@@ -535,11 +535,26 @@ class MapDatabase:
             kf.will_be_erased = True
             # trajectory forwarding: frames whose reference keyframe is
             # culled keep an exact reconstruction path — pose_frame =
-            # rel @ T_fwd @ pose_parent with T_fwd captured NOW, so later
-            # refinements of the parent still propagate (the reference's
+            # rel @ T_fwd @ pose_anchor with T_fwd captured NOW, so later
+            # refinements of the anchor still propagate (the reference's
             # frame_statistics walks the spanning tree the same way when a
-            # ref keyframe was erased, trajectory_io.cc:40-57)
-            parent_id = kf.graph_node.spanning_parent
+            # ref keyframe was erased, trajectory_io.cc:40-57).
+            # Anchor = STRONGEST COVISIBILITY neighbor, not the spanning
+            # parent: the culler erases a keyframe precisely because nearby
+            # keyframes cover its view, so a strong covis neighbor is always
+            # close and shares this keyframe's local drift state — a distant
+            # spanning parent can sit across an uncorrected drift seam, and
+            # T_fwd would freeze that inconsistency into every reconstructed
+            # frame once the seam is later closed (measured: 430 mm of
+            # leaked seam on mid-trajectory frames).
+            parent_id = None
+            for cand in kf.graph_node.get_covisibilities():
+                ckf = self.keyframes.get(cand)
+                if ckf is not None and not ckf.will_be_erased:
+                    parent_id = cand
+                    break
+            if parent_id is None:
+                parent_id = kf.graph_node.spanning_parent
             if parent_id is not None and parent_id in self.keyframes:
                 T_fwd = kf.pose_cw @ np.linalg.inv(
                     self.keyframes[parent_id].pose_cw)

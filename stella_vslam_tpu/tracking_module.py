@@ -390,7 +390,8 @@ class TrackingModule:
             self.last_frm = frm
             self.finalized.append(
                 (frm.id, frm.timestamp,
-                 frm.pose_cw.copy() if ok else None, frm.ref_keyfrm_id, None)
+                 frm.pose_cw.copy() if ok else None, frm.ref_keyfrm_id,
+                 self._rel_to_ref(frm) if ok else None)
             )
             return frm.pose_cw if ok else None
 
@@ -399,7 +400,8 @@ class TrackingModule:
             self.last_frm = frm
             self.finalized.append(
                 (frm.id, frm.timestamp,
-                 frm.pose_cw.copy() if ok else None, frm.ref_keyfrm_id, None)
+                 frm.pose_cw.copy() if ok else None, frm.ref_keyfrm_id,
+                 self._rel_to_ref(frm) if ok else None)
             )
             if ok:
                 self.state = STATE_TRACKING
@@ -1190,6 +1192,17 @@ class TrackingModule:
         return True
 
     # ------------------------------------------------------------------
+    def _rel_to_ref(self, frm: Frame):
+        """Relative pose to the reference keyframe at finalize time, so the
+        exported trajectory follows later keyframe refinements (reference
+        frame_statistics)."""
+        if frm.ref_keyfrm_id is None or frm.pose_cw is None:
+            return None
+        kf = self.map_db.keyframes.get(frm.ref_keyfrm_id)
+        if kf is None or kf.will_be_erased:
+            return None
+        return frm.pose_cw @ np.linalg.inv(kf.pose_cw)
+
     def _relocalize(self, frm: Frame) -> bool:
         if self.relocalizer is None:
             return False
