@@ -788,6 +788,27 @@ class TrackingModule:
         else:
             self.twist = None
 
+        # reference-keyframe re-selection: the keyframe sharing the most
+        # landmarks with this frame becomes the reference (the reference's
+        # local_map_updater does this every frame, local_map_updater.cc
+        # nearest_covisibility -> tracking_module ref_keyfrm_). Without it
+        # the ref goes stale on long no-insertion stretches (revisits), and
+        # the trajectory reconstruction inherits a long rel lever arm that
+        # amplifies any later refinement of the far keyframe (measured:
+        # 93-164 mm on return-leg frames anchored 0.4-0.66 map-units away).
+        valid_lms = frm.lm_ids[frm.lm_ids >= 0]
+        if len(valid_lms):
+            obs_kfs, obs_cnts = self.map_db.assoc_store.covis_counts(
+                valid_lms, -1)
+            if len(obs_kfs):
+                b = int(np.argmax(obs_cnts))
+                cur_cnt = obs_cnts[obs_kfs == self.ref_keyfrm_id]
+                if int(obs_kfs[b]) != self.ref_keyfrm_id and (
+                        len(cur_cnt) == 0 or obs_cnts[b] > int(cur_cnt[0])):
+                    kf_new = self.map_db.keyframes.get(int(obs_kfs[b]))
+                    if kf_new is not None and not kf_new.will_be_erased:
+                        self.ref_keyfrm_id = int(obs_kfs[b])
+
         # keyframe insertion
         if self.mapping_is_enabled:
             t0 = _time.monotonic()
