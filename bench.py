@@ -76,12 +76,15 @@ def run_stereo():
     results = slam.frame_poses
     first = next(i for i, (_, p, _, _) in enumerate(results) if p is not None)
     lost = sum(1 for (_, p, _, _) in results[first:] if p is None)
+    # frame ids are a global counter (persist across System instances) —
+    # index ground truth by feed order, not raw id
+    fid0 = results[0][3]
     est, gt = [], []
     for (_, pose, _, fid) in results:
         if pose is None:
             continue
         est.append(-pose[:3, :3].T @ pose[:3, 3])
-        gt.append([gt_xy[fid][0], gt_xy[fid][1], 0.0])
+        gt.append([gt_xy[fid - fid0][0], gt_xy[fid - fid0][1], 0.0])
     est, gt = np.asarray(est), np.asarray(gt)
     # rigid SE3 alignment (rotation+translation, NO scale): stereo is metric
     mu_e, mu_g = est.mean(0), gt.mean(0)
@@ -197,12 +200,13 @@ def main():
     lost = len(after_init) - tracked_after_init
     n_kfs = slam.map_db.num_keyframes()
     n_lms = slam.map_db.num_landmarks()
+    fid0 = results[0][3]
     est, gt = [], []
     for (_, pose, _, fid) in results:
         if pose is None:
             continue
         est.append(-pose[:3, :3].T @ pose[:3, 3])
-        gt.append([gt_xy[fid][0], gt_xy[fid][1], 0.0])
+        gt.append([gt_xy[fid - fid0][0], gt_xy[fid - fid0][1], 0.0])
     aligned, _ = umeyama_align(np.asarray(est), np.asarray(gt))
     gt = np.asarray(gt)
     ate = float(np.sqrt(np.mean(np.sum((aligned - gt) ** 2, 1))))
