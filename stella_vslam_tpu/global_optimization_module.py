@@ -47,6 +47,9 @@ class GlobalOptimizationModule:
             **(loop_detector_kwargs or {}),
         )
         self._queue: "queue.Queue" = queue.Queue()
+        # False while a popped keyframe is being processed — shutdown's
+        # drain barrier needs "queue empty AND nothing mid-flight"
+        self._idle = True
         self._thread: Optional[threading.Thread] = None
         self._terminate = threading.Event()
         self.mapper = None  # wired by system
@@ -114,6 +117,7 @@ class GlobalOptimizationModule:
                 kf = self._queue.get(timeout=0.005)
             except queue.Empty:
                 continue
+            self._idle = False
             try:
                 self.process_keyframe(kf)
             except Exception:
@@ -121,6 +125,11 @@ class GlobalOptimizationModule:
                 # thread would stop ALL future loop detection (the reference
                 # thread survives per-keyframe failures)
                 _log.exception("loop processing failed for keyframe %d", kf.id)
+            finally:
+                self._idle = True
+
+    def is_idle(self) -> bool:
+        return self._idle and self._queue.empty()
 
     def process_keyframe(self, kf):
         if kf.will_be_erased:

@@ -15,6 +15,7 @@ mirror is refreshed so the tracking thread always consumes a recent snapshot.
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
 import time
@@ -95,7 +96,9 @@ class MappingModule:
         # residual schedule amortizes across events (each event re-optimizes
         # the same neighborhood), so local BA runs a 3+6 schedule — the
         # full 5+10 stays for global/loop BA where there is no next event
-        self.ba_iters = (3, 6)
+        _it = os.environ.get("SVT_BA_ITERS")
+        self.ba_iters = tuple(int(x) for x in _it.split(",")) if _it \
+            else (3, 6)
         # TPU-first event thinning: one local BA per `ba_stride` keyframe
         # events once the map is mature. The reference's own precedent is
         # skipping local BA under queue backpressure (mapping_module.cc:
@@ -103,7 +106,11 @@ class MappingModule:
         # one event later (it is in the next event's covisibility set), at
         # half the device-contention cost. Young maps (< 10 keyframes) and
         # post-correction events always run BA.
-        self.ba_stride = 2
+        self.ba_stride = int(os.environ.get("SVT_BA_STRIDE", "2"))
+        # cap on optimized (non-fixed) local keyframes per local BA; 0 =
+        # reference behavior (whole covisibility set up to K-8). See
+        # _assemble_local_ba.
+        self.ba_local_cap = int(os.environ.get("SVT_BA_LOCAL_CAP", "0"))
         self._events_since_ba = 0
 
         self._queue: "queue.Queue[Keyframe]" = queue.Queue()
@@ -200,6 +207,18 @@ class MappingModule:
                     num_first=self.ba_iters[0], num_second=self.ba_iters[1],
                 )
                 jax.block_until_ready(res.cost)
+                if os.environ.get("SVT_BA_CHUNKED", "0") == "1":
+                    # one iteration per stage compiles all four stepped
+                    # programs (init / robust step / plain step +
+                    # reclassify/finalize) for this bucket
+                    res = ba_mod.bundle_adjust_packed_stepped(
+                        f32(ba_mod.packed_size(K, L, D)),
+                        make_cam_scalars(self.camera),
+                        K=K, L=L, D=D,
+                        model=self.camera.model.name.lower(),
+                        num_first=1, num_second=1, pace_s=0.0,
+                    )
+                    jax.block_until_ready(res.cost)
                 self._ba_shapes.add((K, L))
         if self.bow_db is not None:
             # the BoW tree-descent program otherwise compiles at the FIRST
@@ -781,15 +800,39 @@ class MappingModule:
         t1 = time.monotonic()
         cam = make_cam_scalars(self.camera)
         pack, K, L, D = prob
-        res = ba_mod.bundle_adjust_packed(
-            jnp.asarray(pack), cam, K=K, L=L, D=D,
-            model=self.camera.model.name.lower(),
-            num_first=self.ba_iters[0], num_second=self.ba_iters[1])
-        _log.debug("kf %d ba: assemble=%.0f dispatch=%.0f ms (L=%d)", cur.id,
-                   (t1 - t0) * 1e3, (time.monotonic() - t1) * 1e3,
-                   res.lm_pos.shape[0])
-        fut = self._ba_fetch_pool.submit(
-            fetch_all, res.cam_R, res.cam_t, res.lm_pos, res.obs_is_outlier)
+        buf_dev = jnp.asarray(pack)
+        model = self.camera.model.name.lower()
+        n1, n2 = self.ba_iters
+
+        # Default: ONE fused full-schedule program — keeps the chip at peak
+        # efficiency; the tracker's event-window inflight throttle bounds
+        # what queues behind it. SVT_BA_CHUNKED=1 selects the per-iteration
+        # stepped dispatch (ba_mod.bundle_adjust_packed_stepped) instead, so
+        # tracking programs interleave between LM iterations — it lowers the
+        # worst single-frame stall but the BA itself then queues behind the
+        # tracker's in-flight programs (wall 300-600 ms vs ~110 fused in a
+        # degraded-transfer window; the two strategies were not separable
+        # within measurement noise in a healthy window).
+        if os.environ.get("SVT_BA_CHUNKED", "0") == "1" \
+                and not self.synchronous_ba:
+            def _run_stepped():
+                res = ba_mod.bundle_adjust_packed_stepped(
+                    buf_dev, cam, K=K, L=L, D=D, model=model,
+                    num_first=n1, num_second=n2,
+                    pace_s=float(os.environ.get("SVT_BA_PACE_MS", "8")) * 1e-3)
+                return fetch_all(res.cam_R, res.cam_t, res.lm_pos,
+                                 res.obs_is_outlier)
+            fut = self._ba_fetch_pool.submit(_run_stepped)
+        else:
+            res = ba_mod.bundle_adjust_packed(
+                buf_dev, cam, K=K, L=L, D=D, model=model,
+                num_first=n1, num_second=n2)
+            fut = self._ba_fetch_pool.submit(
+                fetch_all, res.cam_R, res.cam_t, res.lm_pos,
+                res.obs_is_outlier)
+        _log.debug("kf %d ba: assemble=%.0f dispatch=%.0f ms (K=%d L=%d)",
+                   cur.id, (t1 - t0) * 1e3, (time.monotonic() - t1) * 1e3,
+                   K, L)
         self._pending_ba = {
             "fut": fut, "lm_ids": lm_ids, "kf_slots": kf_slots,
             "marker_rows": marker_rows, "host": host, "center": cur.id,
@@ -893,10 +936,17 @@ class MappingModule:
         map_db = self.map_db
         K, L, D = self.ba_K, self.ba_L, self.ba_D
         local_ids = [cur.id] + cur.graph_node.get_covisibilities()
+        # TPU-first problem thinning: optimizing the strongest-covisibility
+        # neighbors only (instead of the reference's whole covisibility set,
+        # local_bundle_adjuster_g2o.cc:68-92) keeps mature-map problems in
+        # the small-K compiled bucket — the [L,K,6,3] Schur tensors scale
+        # with K, and on one chip every ms of BA device time is a ms the
+        # tracker's frames queue behind. 0 = reference behavior.
+        cap = self.ba_local_cap if self.ba_local_cap > 0 else K - 8
         local_ids = [
             i for i in local_ids
             if i in map_db.keyframes and not map_db.keyframes[i].will_be_erased
-        ][: K - 8]  # leave room for fixed keyframes
+        ][: min(cap, K - 8)]
         local_set = set(local_ids)
         # local landmarks: stable-unique over the stacked association arrays
         # (first-occurrence order keeps the center keyframe's landmarks first
@@ -927,6 +977,12 @@ class MappingModule:
             np.asarray(lm_ids, np.int64), -1)
         fixed_ids = []
         budget = K - len(local_ids)
+        if self.ba_local_cap > 0:
+            # keep the whole problem inside the smallest bucket that fits
+            # the cap: strongest few external observers anchor the gauge
+            target = next((b for b in self.BA_K_BUCKETS
+                           if self.ba_local_cap < b), self.ba_K)
+            budget = min(budget, target - len(local_ids))
         for i in np.argsort(-cnt):
             k = int(obs_kf[i])
             if k not in local_set:

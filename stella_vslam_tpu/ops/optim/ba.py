@@ -160,6 +160,117 @@ def bundle_adjust_packed(buf, cam, *, K: int, L: int, D: int,
 
 
 # ---------------------------------------------------------------------------
+# chunked (per-iteration) local BA: on one chip the mapper's BA program
+# serializes with the tracker's per-frame programs, and a monolithic
+# full-schedule program (~110-150 ms at K=32/L=2048) stalls a whole fetch
+# batch of tracking frames behind it once per keyframe event — the dominant
+# frame-time tail on the bench. Dispatching ONE Levenberg-Marquardt iteration
+# per device program (~10-15 ms) and fetching only the scalar done-flag
+# between steps lets tracking programs interleave after every iteration; the
+# done-flag round trip both paces the queue and applies the reference's
+# gain < 1e-3 early termination on host (optimize/terminate_action.cc wired
+# at local_bundle_adjuster_g2o.cc:157-159). Total BA wall grows (it is
+# asynchronous — the writeback lands at the next idle tick) but the tracker's
+# worst queue wait drops from the full schedule to one iteration.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("K", "L", "D"))
+def ba_init_packed(buf, *, K: int, L: int, D: int):
+    """Initial optimization state straight from the uploaded problem buffer."""
+    prob = unpack_problem(buf, K, L, D)
+    return prob.cam_R, prob.cam_t, prob.lm_pos
+
+
+@partial(jax.jit, static_argnames=("K", "L", "D", "model", "use_huber"))
+def ba_step_packed(buf, cam_R, cam_t, lm_pos, lam, inlier, cam, *,
+                   K: int, L: int, D: int, model: str, use_huber: bool):
+    """One LM iteration — the body of bundle_adjust's while_loop as a
+    standalone program over explicit device-resident state."""
+    prob = unpack_problem(buf, K, L, D)
+    cost0, blocks = _linearize(
+        prob, cam_R, cam_t, lm_pos, inlier, cam, model, use_huber)
+    Rn, tn, pn = _solve_schur(prob, cam_R, cam_t, lm_pos, blocks, lam)
+    cost1, _, _ = _total_cost(prob, Rn, tn, pn, inlier, cam, model, use_huber)
+    improved = cost1 < cost0
+    gain = (cost0 - cost1) / jnp.maximum(cost0, 1e-12)
+    done = improved & (gain < 1e-3)
+    cam_R = jnp.where(improved, Rn, cam_R)
+    cam_t = jnp.where(improved, tn, cam_t)
+    lm_pos = jnp.where(improved, pn, lm_pos)
+    lam = jnp.clip(jnp.where(improved, lam * 0.5, lam * 4.0), 1e-8, 1e4)
+    return cam_R, cam_t, lm_pos, lam, done, cost1
+
+
+@partial(jax.jit, static_argnames=("K", "L", "D", "model"))
+def ba_reclassify_packed(buf, cam_R, cam_t, lm_pos, cam, *,
+                         K: int, L: int, D: int, model: str):
+    """Between-stage outlier reclassification
+    (local_bundle_adjuster_g2o.cc:306-329)."""
+    prob = unpack_problem(buf, K, L, D)
+    inlier0 = jnp.ones_like(prob.obs_valid)
+    _, chi2_mid, depth_ok_mid = _total_cost(
+        prob, cam_R, cam_t, lm_pos, inlier0, cam, model, False)
+    chi_thr = jnp.where(prob.obs_x_right > 0, CHI_SQ_3D, CHI_SQ_2D)
+    inlier1 = (chi2_mid <= chi_thr) & depth_ok_mid
+    if prob.lm_keep_inlier is not None:
+        inlier1 = inlier1 | prob.lm_keep_inlier[:, None]
+    return inlier1
+
+
+@partial(jax.jit, static_argnames=("K", "L", "D", "model"))
+def ba_finalize_packed(buf, cam_R, cam_t, lm_pos, inlier, cam, *,
+                       K: int, L: int, D: int, model: str):
+    """Final chi-square outlier flags at the optimized poses."""
+    prob = unpack_problem(buf, K, L, D)
+    _, chi2_fin, depth_ok_fin = _total_cost(
+        prob, cam_R, cam_t, lm_pos, inlier, cam, model, False)
+    chi_thr = jnp.where(prob.obs_x_right > 0, CHI_SQ_3D, CHI_SQ_2D)
+    return prob.obs_valid & ((chi2_fin > chi_thr) | ~depth_ok_fin)
+
+
+def bundle_adjust_packed_stepped(buf, cam, *, K: int, L: int, D: int,
+                                 model: str = "perspective",
+                                 num_first: int = 5,
+                                 num_second: int = 10,
+                                 pace_s: float = 0.008,
+                                 term_chunk: int = 3) -> BAResult:
+    """Host-driven per-iteration schedule, numerically identical to
+    bundle_adjust_packed (same body, same lam schedule, same gain-based
+    termination up to `term_chunk` granularity) but one device program per
+    iteration. Pacing: a short wall-clock sleep after each enqueue gives
+    the tracker's concurrently-dispatched frames queue slots between
+    iterations; the done flag is fetched only every `term_chunk` steps
+    (a per-step scalar round trip costs ~30-40 ms on the tunneled runtime
+    — measured: it quadrupled BA wall time and starved the event cadence).
+    Call from a worker thread."""
+    import time as _t
+    cam_R, cam_t, lm_pos = ba_init_packed(buf, K=K, L=L, D=D)
+    inlier = jnp.ones((L, D), bool)
+    cost = jnp.float32(jnp.inf)
+    for use_huber, iters in ((True, num_first), (False, num_second)):
+        lam = jnp.float32(1e-4)
+        since_check = 0
+        for it in range(iters):
+            cam_R, cam_t, lm_pos, lam, done, cost = ba_step_packed(
+                buf, cam_R, cam_t, lm_pos, lam, inlier, cam,
+                K=K, L=L, D=D, model=model, use_huber=use_huber)
+            since_check += 1
+            if since_check >= term_chunk and it < iters - 1:
+                since_check = 0
+                if bool(done):  # blocks; also drains the queue for trackers
+                    break
+            elif pace_s > 0:
+                _t.sleep(pace_s)
+        if use_huber:
+            inlier = ba_reclassify_packed(
+                buf, cam_R, cam_t, lm_pos, cam, K=K, L=L, D=D, model=model)
+    outlier = ba_finalize_packed(
+        buf, cam_R, cam_t, lm_pos, inlier, cam, K=K, L=L, D=D, model=model)
+    return BAResult(cam_R=cam_R, cam_t=cam_t, lm_pos=lm_pos,
+                    obs_is_outlier=outlier, cost=cost)
+
+
+# ---------------------------------------------------------------------------
 # lane-major helpers: structural zeros are represented as None so the unrolled
 # small-dim arithmetic skips them entirely
 # ---------------------------------------------------------------------------

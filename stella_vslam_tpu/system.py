@@ -297,6 +297,19 @@ class System:
         if self.inline_mapping:
             self._drain_mapper_inline()
         if not self.inline_mapping:
+            # drain before terminate: every fed frame's keyframe event and
+            # its loop-detection pass must complete — request_terminate drops
+            # whatever is still queued, and a lagging loop-closing thread
+            # would otherwise silently lose a loop closure that is sitting
+            # in its queue (the saved map must reflect ALL fed frames; the
+            # reference feeds in real time so its queues are near-empty at
+            # shutdown, system.cc:321-334)
+            deadline = time.time() + 120.0
+            while time.time() < deadline and not (
+                    self.mapper.is_idle()
+                    and not self.mapper.keyframe_is_queued()
+                    and self.global_optimizer.is_idle()):
+                time.sleep(0.01)
             self.mapper.request_terminate()
             self.global_optimizer.request_terminate()
             self.mapper.join()
