@@ -104,7 +104,8 @@ def run_stereo():
         f"kfs={slam.map_db.num_keyframes()}\n")
     assert lost <= 8, f"stereo: {lost} frames lost after init"
     assert scale_err < 0.05, f"stereo scale error {scale_err:.1%} (metric!)"
-    assert ate < 0.25, f"stereo metric ATE {ate:.3f} m"
+    # measured 5 mm on chip (r4); metric-scale rigid alignment, no similarity
+    assert ate < 0.10, f"stereo metric ATE {ate:.3f} m"
     return {"stereo_fps": round(fps, 2), "stereo_ate_mm": round(ate * 1e3),
             "stereo_scale_err_pct": round(scale_err * 100, 2)}
 
@@ -249,9 +250,13 @@ def main():
     # no better than ~0.25 m RMSE — tests/test_loop_closure.py)
     assert slam.global_optimizer.num_loops_closed >= 1, \
         "loop detector never fired on the revisit"
-    assert ate < 0.24, (
-        f"ATE RMSE {ate:.3f} m: loop correction did not beat the "
-        "unclosed-map floor (~0.25-0.3 m, tests/test_loop_closure.py bound)")
+    # round-4 closed-loop accuracy: 13-50 mm across chip runs (pose graph +
+    # global BA + scale-consistent trajectory reconstruction); the unclosed
+    # floor is ~0.25-0.3 m, so < 0.10 certifies a genuinely stitched map
+    # with ~2x margin over the worst observed run
+    assert ate < 0.10, (
+        f"ATE RMSE {ate:.3f} m: loop correction left >100 mm of seam "
+        "(closed-loop runs measure 13-50 mm; unclosed floor ~0.25-0.3 m)")
     # local-BA keep-up (BASELINE.md: report ms/keyframe; no sustained skip)
     assert ba_opportunities > 0 and n_skips <= 0.2 * ba_opportunities, (
         f"sustained local-BA skip: {n_skips}/{ba_opportunities}")

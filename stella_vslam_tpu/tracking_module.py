@@ -489,10 +489,29 @@ class TrackingModule:
         )
         max_inflight = self.inflight_mapper_busy if mapper_busy \
             else self.max_inflight
-        while self.state == STATE_TRACKING and self._pending and (
-            len(self._pending) > max_inflight
-            or _time.monotonic() - self._pending[0].t_dispatch > self.max_lag_s
-        ):
+        # The lag bound applies to the frame that was oldest when this feed
+        # entered: wait until THAT frame finalizes (bounding its decision
+        # staleness), not until the whole backlog clears. Holding the caller
+        # while each successively-promoted oldest frame is also stale (they
+        # were dispatched within ~30 ms of each other) drained the ENTIRE
+        # pipeline to pend=0 once per keyframe event — measured 200-240 ms
+        # caller stalls plus an empty-pipeline restart, when the event hiccup
+        # that triggered it only delayed one fetch batch ~100 ms.
+        _wait_t0 = None
+        _wait_why = None
+        entry_oldest = self._pending[0] if self._pending else None
+        while self.state == STATE_TRACKING and self._pending:
+            too_deep = len(self._pending) > max_inflight
+            too_stale = (
+                self._pending[0] is entry_oldest
+                and _time.monotonic() - entry_oldest.t_dispatch
+                > self.max_lag_s
+            )
+            if not (too_deep or too_stale):
+                break
+            if _wait_t0 is None:
+                _wait_t0 = _time.monotonic()
+                _wait_why = "depth" if too_deep else "lag"
             # memory + staleness bound; fin thread drains. Timed wait + thread
             # re-check so a crashed finalize thread cannot strand the caller.
             # (Tried: flushing the partial fetch batch here instead of letting
@@ -501,6 +520,12 @@ class TrackingModule:
             # chip runs lost their loop closure to the shifted cadence.)
             self._cond.wait(timeout=1.0)
             self._ensure_fin_thread()
+        if _wait_t0 is not None and _log.isEnabledFor(logging.DEBUG):
+            dt = (_time.monotonic() - _wait_t0) * 1e3
+            if dt > 30:
+                _log.debug("feed wait frame %d: %.0f ms (%s, pend=%d, "
+                           "mapper_busy=%s)", frm.id, dt, _wait_why,
+                           len(self._pending), mapper_busy)
         return self.last_frm.pose_cw if self.last_frm is not None else None
 
     # ------------------------------------------------------------------

@@ -97,7 +97,8 @@ def test_loop_closure_end_to_end():
     ate_rmse = float(np.sqrt(np.mean(np.sum((aligned - gt) ** 2, axis=1))))
     # an unclosed map (two segments offset by 0.55 m, constrained only by the
     # severed seam's spanning edge) aligns no better than ~0.25-0.3 m RMSE;
-    # pose graph + global BA pull the closed map to ~0.15-0.2 (the injected
-    # discontinuity deleted the mid-leg constraints, so this is the floor of
-    # the smooth compromise, ~1.5% of the 13.7 m path)
-    assert ate_rmse < 0.24, f"trajectory inconsistent after loop: {ate_rmse:.3f} m"
+    # pose graph + global BA + scale-consistent trajectory reconstruction
+    # (per-frame reference re-selection, covisibility forwarding anchors)
+    # pull the closed map to ~0.035 m (round-4 measurement) — assert with
+    # ~3x margin
+    assert ate_rmse < 0.10, f"trajectory inconsistent after loop: {ate_rmse:.3f} m"
