@@ -204,6 +204,9 @@ class OrbExtractor:
     takes a grayscale image (+ optional mask), returns keypoints + descriptors.
     """
 
+    # config-keyed compiled-program cache (see __init__)
+    _program_cache: dict = {}
+
     def __init__(
         self,
         params: OrbParams,
@@ -245,17 +248,30 @@ class OrbExtractor:
             gp, g = self.levels[lvl - 1], self.levels[lvl]
             R, C = _resize_matrices(gp.H, gp.W, g.H, g.W)
             self._resize_mats.append((jnp.asarray(R), jnp.asarray(C)))
-        self._extract = jax.jit(lambda img, m: self._extract_impl(img, m)[0])
-        self._extract_nomask = jax.jit(lambda img: self._extract_impl(img, None)[0])
-        self._extract_patches_nomask = jax.jit(
-            lambda img: self._extract_impl(img, None)
-        )
-        # stereo L/R pair in ONE program (reference extracts on two threads,
-        # system.cc:427-434; here one batched dispatch keeps the chip busy and
-        # pays the host->device launch latency once)
-        self._extract_pair = jax.jit(
-            jax.vmap(lambda img: self._extract_impl(img, None))
-        )
+        # jitted entry points are cached per CONFIG, not per instance: the
+        # trace depends only on (params, geometry, mask rects, pattern), so
+        # two extractors with equal config share compiled programs — a
+        # second System in the same process (stereo bench leg, map-load
+        # tools, tests) otherwise re-pays the full extractor compile
+        key = (params.num_levels, float(params.scale_factor),
+               int(params.ini_fast_thr), int(params.min_fast_thr),
+               self.width, self.height, min_area,
+               tuple(tuple(r) for r in self.mask_rects),
+               self.descriptor_pattern)
+        progs = OrbExtractor._program_cache.get(key)
+        if progs is None:
+            progs = (
+                jax.jit(lambda img, m: self._extract_impl(img, m)[0]),
+                jax.jit(lambda img: self._extract_impl(img, None)[0]),
+                jax.jit(lambda img: self._extract_impl(img, None)),
+                # stereo L/R pair in ONE program (reference extracts on two
+                # threads, system.cc:427-434; here one batched dispatch keeps
+                # the chip busy and pays the launch latency once)
+                jax.jit(jax.vmap(lambda img: self._extract_impl(img, None))),
+            )
+            OrbExtractor._program_cache[key] = progs
+        (self._extract, self._extract_nomask,
+         self._extract_patches_nomask, self._extract_pair) = progs
 
     # ------------------------------------------------------------------
     def extract(self, image: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> FrameFeatures:

@@ -48,3 +48,44 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip)
+
+
+# ---------------------------------------------------------------------------
+# Shared base map run: ONE inline SLAM pass over the default plane world,
+# saved to msgpack. Session-scoped so test_slam_e2e / test_map_io /
+# test_reloc_by_pose stop paying ~25 s of compile + feed each for
+# near-identical fixtures (the reference test suite's shared fixture layer,
+# test/CMakeLists.txt) — they consume the run, the saved artifact, or a
+# freshly-loaded copy of it.
+# ---------------------------------------------------------------------------
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+BASE_CFG = {
+    "Camera": None,  # filled from the world
+    "Feature": {"num_levels": 4},
+    "Preprocessing": {"min_size": 400},
+    "Initializer": {"use_fixed_seed": True},
+}
+
+
+@pytest.fixture(scope="session")
+def base_map_run(tmp_path_factory):
+    from stella_vslam_tpu.config import Config
+    from stella_vslam_tpu.system import System
+    from tests.synthetic_world import PlaneWorld, lateral_trajectory
+
+    world = PlaneWorld()
+    n = 40
+    poses_gt = lateral_trajectory(n)
+    cfg_dict = {k: (dict(v) if isinstance(v, dict) else v)
+                for k, v in BASE_CFG.items()}
+    cfg_dict["Camera"] = world.camera_yaml()
+    slam = System(Config.from_dict(cfg_dict), inline_mapping=True)
+    slam.startup()
+    for i, T in enumerate(poses_gt):
+        slam.feed_monocular_frame(world.render(T), i * 0.05)
+    slam.shutdown()
+    path = str(tmp_path_factory.mktemp("basemap") / "map.msgpack")
+    slam.save_map_database(path, "msgpack")
+    return world, poses_gt, slam, cfg_dict, path

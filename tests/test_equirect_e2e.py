@@ -12,7 +12,7 @@ from stella_vslam_tpu.util.synthetic import BoxWorld, umeyama_align
 @pytest.mark.slow
 def test_equirect_slam_e2e():
     world = BoxWorld(width=512, height=256, half=4.0)
-    n = 40
+    n = 32
     poses_gt = []
     for i in range(n):
         T = np.eye(4)
@@ -44,7 +44,7 @@ def test_equirect_slam_e2e():
         est.append(-pose[:3, :3].T @ pose[:3, 3])
         gt.append(-T_gt[:3, :3].T @ T_gt[:3, 3])
     est, gt = np.asarray(est), np.asarray(gt)
-    assert len(est) >= 25, f"only {len(est)}/{n} frames tracked"
+    assert len(est) >= 20, f"only {len(est)}/{n} frames tracked"
     aligned, _ = umeyama_align(est, gt)
     ate_rmse = float(np.sqrt(np.mean(np.sum((aligned - gt) ** 2, axis=1))))
     traj_len = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()

@@ -62,23 +62,30 @@ def test_true_E_among_candidates():
     """The ground-truth essential matrix appears among the <=10 candidates
     for most noise-free minimal sets (up-to-sign Frobenius distance)."""
     rng = np.random.default_rng(5)
-    hits = 0
-    for _ in range(20):
+    # one batch-16 call: reuses the batch-16 compile from
+    # test_minimal_sets_satisfy_epipolar_constraint (a batch-1 variant
+    # cost its own ~11 s compile on the CPU mesh)
+    truths, sets1, sets2 = [], [], []
+    for _ in range(16):
         R, t = _rand_pose(rng)
         E_true = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]],
                            [-t[1], t[0], 0]]) @ R
-        E_true /= np.linalg.norm(E_true)
+        truths.append(E_true / np.linalg.norm(E_true))
         b1, b2 = _pairs(rng, R, t, 5)
-        E, valid = jax.jit(essential_5pt.solve_minimal_sets)(
-            jnp.asarray(b1[None]), jnp.asarray(b2[None]))
-        E, valid = np.asarray(E)[0], np.asarray(valid)[0]
+        sets1.append(b1)
+        sets2.append(b2)
+    E_all, valid_all = jax.jit(essential_5pt.solve_minimal_sets)(
+        jnp.asarray(np.stack(sets1)), jnp.asarray(np.stack(sets2)))
+    E_all, valid_all = np.asarray(E_all), np.asarray(valid_all)
+    hits = 0
+    for b, E_true in enumerate(truths):
         best = 1e9
-        for r in np.nonzero(valid)[0]:
-            Er = E[r] / np.linalg.norm(E[r])
+        for r in np.nonzero(valid_all[b])[0]:
+            Er = E_all[b, r] / np.linalg.norm(E_all[b, r])
             best = min(best, np.abs(Er - E_true).max(),
                        np.abs(Er + E_true).max())
         hits += best < 2e-2
-    assert hits >= 14, f"true E recovered in only {hits}/20 sets"
+    assert hits >= 11, f"true E recovered in only {hits}/16 sets"
 
 
 @pytest.mark.parametrize("ratio,min_success", [(0.30, 7)])

@@ -4,32 +4,13 @@ import pytest
 
 from stella_vslam_tpu.config import Config
 from stella_vslam_tpu.system import System
-from tests.synthetic_world import PlaneWorld, lateral_trajectory
-
-
-def build_map(world, poses, n):
-    cfg = Config.from_dict(
-        {
-            "Camera": world.camera_yaml(),
-            "Feature": {"num_levels": 4},
-            "Preprocessing": {"min_size": 400},
-            "Initializer": {"use_fixed_seed": True},
-        }
-    )
-    slam = System(cfg, inline_mapping=True)
-    slam.startup()
-    for i in range(n):
-        slam.feed_monocular_frame(world.render(poses[i]), i * 0.2)
-    slam.shutdown()
-    return slam, cfg
-
 
 @pytest.fixture(scope="module")
-def built():
-    world = PlaneWorld()
-    poses = lateral_trajectory(30, step=0.02)
-    slam, cfg = build_map(world, poses, 30)
-    return world, poses, slam, cfg
+def built(base_map_run):
+    # session-shared base run (tests/conftest.py); this module re-saves it
+    # in each format under test
+    world, poses, slam, cfg_dict, _path = base_map_run
+    return world, poses, slam, Config.from_dict(cfg_dict)
 
 
 @pytest.mark.parametrize("fmt,ext", [("msgpack", "msg"), ("sqlite3", "db")])

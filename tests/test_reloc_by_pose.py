@@ -11,27 +11,19 @@ from tests.synthetic_world import PlaneWorld, lateral_trajectory
 
 
 @pytest.fixture(scope="module")
-def lost_system():
-    world = PlaneWorld()
-    n = 40
-    poses_gt = lateral_trajectory(n)
-    cfg = Config.from_dict(
-        {
-            "Camera": world.camera_yaml(),
-            "Feature": {"num_levels": 4},
-            "Preprocessing": {"min_size": 400},
-            "Initializer": {"use_fixed_seed": True},
-            # BoW auto-relocalization OFF: only the pose-hint path may recover
-            "Tracking": {"enable_auto_relocalization": False,
-                         "reloc_distance_threshold": 0.5},
-        }
-    )
-    sys_ = System(cfg, inline_mapping=True)
-    sys_.startup()
-    for i, T in enumerate(poses_gt):
-        sys_.feed_monocular_frame(world.render(T), i * 0.05)
-    sys_.tracker.finalize_pending()
-    assert sys_.tracker.state == "Tracking"
+def lost_system(base_map_run):
+    # session-shared base run (tests/conftest.py): load its saved map into a
+    # System whose BoW auto-relocalization is OFF, so only the pose-hint
+    # path can recover. Loading (vs re-running SLAM) also matches the API's
+    # primary use: re-seating a tracker on a prebuilt map.
+    world, poses_gt, _slam, cfg_dict, path = base_map_run
+    cfg_dict = {k: (dict(v) if isinstance(v, dict) else v)
+                for k, v in cfg_dict.items()}
+    cfg_dict["Tracking"] = {"enable_auto_relocalization": False,
+                            "reloc_distance_threshold": 0.5}
+    sys_ = System(Config.from_dict(cfg_dict), inline_mapping=True)
+    sys_.load_map_database(path, "msgpack")
+    sys_.startup(need_initialize=False)
     return sys_, world, poses_gt
 
 

@@ -4,6 +4,7 @@ over a Mesh — this is the framework's multi-chip scaling story
 (parallel/sharded_ba.py; SURVEY.md §2.10 distributed row)."""
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 from jax.sharding import Mesh
 
@@ -43,6 +44,7 @@ def test_sharded_bundle_adjust_matches_single_device():
     assert rmse < 0.6, f"sharded reprojection RMSE {rmse}"
 
 
+@pytest.mark.slow  # padding edge case; the parity + GN-step tests stay fast
 def test_sharded_bundle_adjust_pads_nondivisible_rows():
     # L=36 is not a multiple of 8: exercises the pad + slice-back path
     prob, poses, pts, L, K = build_problem(K=4, L=36, D=4)

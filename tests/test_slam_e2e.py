@@ -9,24 +9,10 @@ from tests.synthetic_world import PlaneWorld, lateral_trajectory, umeyama_align
 
 
 @pytest.fixture(scope="module")
-def slam_run():
-    world = PlaneWorld()
-    n = 40
-    poses_gt = lateral_trajectory(n)
-    cfg = Config.from_dict(
-        {
-            "Camera": world.camera_yaml(),
-            "Feature": {"num_levels": 4},
-            "Preprocessing": {"min_size": 400},
-            "Initializer": {"use_fixed_seed": True},
-        }
-    )
-    sys_ = System(cfg, inline_mapping=True)
-    sys_.startup()
-    for i, T in enumerate(poses_gt):
-        img = world.render(T)
-        sys_.feed_monocular_frame(img, i * 0.05)
-    sys_.shutdown()
+def slam_run(base_map_run):
+    # session-shared base run (tests/conftest.py) — this module only reads it
+    world, poses_gt, sys_, cfg_dict, path = base_map_run
+    n = len(poses_gt)
     # finalized per-frame poses, ordered by timestamp
     by_ts = {round(ts / 0.05): pose for (ts, pose, _, _) in sys_.frame_poses}
     results = [by_ts.get(i) for i in range(n)]
