@@ -215,6 +215,18 @@ def main():
     n_skips = slam.mapper.num_local_ba_skips
     ba_opportunities = len(ba_ms) + n_skips
 
+    # standing per-stage budget (VERDICT r4 task 2): where keyframe events
+    # and frame feeds spend their time, on the one-core host where every
+    # mapper/finalizer millisecond is stolen from the feed thread
+    from stella_vslam_tpu.util.perf import PERF
+    sys.stderr.write("---- pipeline budget (ms) ----\n"
+                     + PERF.report(min_total_ms=5.0) + "\n")
+    ev = PERF.snapshot().get("map/event.total")
+    if ev:
+        sys.stderr.write(
+            f"keyframe events: {ev[0]}, mean {ev[1] / ev[0] * 1e3:.0f} ms, "
+            f"max {ev[2] * 1e3:.0f} ms\n")
+
     n_created = slam.mapper.num_processed
     # seam diagnostics: how the injected drift was resolved — loop closure
     # (wanted) vs silent bridging (a moved landmark re-observed by a

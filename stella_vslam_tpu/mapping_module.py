@@ -36,6 +36,7 @@ from stella_vslam_tpu.module.mapping_kernels import MappingKernels
 from stella_vslam_tpu.ops.optim import ba as ba_mod
 from stella_vslam_tpu.module.tracking_kernels import make_cam_scalars
 from stella_vslam_tpu.util.fetch import fetch_all
+from stella_vslam_tpu.util.perf import PERF
 
 _log = logging.getLogger(__name__)
 
@@ -150,6 +151,13 @@ class MappingModule:
         # (keyframe, fresh landmark ids) from the most recent event — fused
         # one keyframe late on the hot path, or at settle (see settle_fresh_fuse)
         self._fresh_fuse = None
+        # landmarks whose stats (descriptor/normal/scale range) changed this
+        # event: refreshed in ONE consolidated native call at event end, just
+        # before the table publish, instead of 3-4 separate calls (insert /
+        # triangulation / fuse) that re-touch overlapping sets — on the
+        # one-core host every refresh millisecond is stolen from the feed
+        # thread. id -> Landmark.
+        self._dirty_stats = {}
         self._terminate = threading.Event()
         self._pause_requested = threading.Event()
         self._paused = threading.Event()
@@ -363,6 +371,15 @@ class MappingModule:
         bow_dev = None
         if self.bow_db is not None and cur.id not in self.bow_db.bow_vecs:
             bow_dev = self.bow_db.vocab.transform(jnp.asarray(cur.feats.desc))
+        # the new keyframe's landmark observations changed at insert
+        # (reference keyframe::update_landmarks refreshes their stats at
+        # creation, keyframe.cc:430-447); here they join the event's ONE
+        # consolidated refresh — this event's own fuse dispatch sees stats
+        # one observation stale, every later consumer sees them fresh
+        for i in cur.lm_ids[cur.lm_ids >= 0].tolist():
+            lm = map_db.landmarks.get(i)
+            if lm is not None:
+                self._dirty_stats[i] = lm
         self.cleaner.remove_invalid_landmarks(map_db, cur.id)
         t1 = time.monotonic()
         tri = self._dispatch_triangulation(cur)
@@ -416,8 +433,8 @@ class MappingModule:
                         map_db, kf_chunk, lms, m0, msz, fetched[ci],
                         fetched[n + ci], touched,
                     )
-                map_db.batch_refresh_landmark_stats(
-                    touched, self.orb_params.scale_factors)
+                # stats ride the event's consolidated refresh below
+                self._dirty_stats.update((lm.id, lm) for lm in touched)
         _sub.append(time.monotonic())
         _log.debug(
             "kf %d apply: tri=%.0f bow=%.0f fuse=%.0f", cur.id,
@@ -448,6 +465,7 @@ class MappingModule:
         _mark()
         self.remove_temporal_keyframes(cur)
         self.cleaner.remove_redundant_keyframes(map_db, cur)
+        self._flush_dirty_stats()
         _mark()
         if self._pending_ba is None and not published:
             # tracking-visible rows = covisibility-local map around the
@@ -457,11 +475,33 @@ class MappingModule:
                 center_kf_id=cur.id,
                 max_local_keyframes=self.max_num_local_keyfrms)
         _mark()
+        segs = [(_t[i + 1] - _t[i]) for i in range(7)]
+        for name, dt in zip(
+                ("cull", "disp", "fetch", "apply", "ba", "redu", "tbl"), segs):
+            PERF.add(f"map/event.{name}", dt)
+        PERF.add("map/event.total", _t[-1] - _t[0])
         _log.debug(
             "kf %d mapped in %.0f ms: cull=%.0f disp=%.0f fetch=%.0f "
             "apply=%.0f ba=%.0f redu=%.0f tbl=%.0f", cur.id,
-            (_t[-1] - _t[0]) * 1e3,
-            *[(_t[i + 1] - _t[i]) * 1e3 for i in range(7)])
+            (_t[-1] - _t[0]) * 1e3, *[s * 1e3 for s in segs])
+
+    # ------------------------------------------------------------------
+    def _flush_dirty_stats(self):
+        """One consolidated landmark-stats refresh for everything this event
+        touched (insert-time observation adds, fresh triangulations, fuse
+        adds/replaces) — runs just before the event's table publish so every
+        published row carries fresh normals/ranges/descriptors."""
+        if not self._dirty_stats:
+            return
+        dirty, self._dirty_stats = self._dirty_stats, {}
+        with self.map_db.lock:
+            # identity check guards against a reset/clear between the
+            # registration and this flush (stale ids would index a
+            # re-initialized field store out of bounds)
+            lms = [lm for lm in dirty.values()
+                   if self.map_db.landmarks.get(lm.id) is lm]
+            self.map_db.batch_refresh_landmark_stats(
+                lms, self.orb_params.scale_factors)
 
     # ------------------------------------------------------------------
     def remove_temporal_keyframes(self, cur: Keyframe,
@@ -580,8 +620,8 @@ class MappingModule:
                     lm.observations = {cid: fi, oid: oi}
                 self.cleaner.fresh_landmark_ids.extend(ids.tolist())
                 new_lms.extend(lms)
-            map_db.batch_refresh_landmark_stats(
-                new_lms, self.orb_params.scale_factors)
+            # stats ride the event's consolidated refresh (_flush_dirty_stats)
+            self._dirty_stats.update((lm.id, lm) for lm in new_lms)
         if new_lms:
             self._fresh_fuse = (cur, [lm.id for lm in new_lms])
 
@@ -830,6 +870,8 @@ class MappingModule:
             fut = self._ba_fetch_pool.submit(
                 fetch_all, res.cam_R, res.cam_t, res.lm_pos,
                 res.obs_is_outlier)
+        PERF.add("ba/assemble", t1 - t0)
+        PERF.add("ba/dispatch", time.monotonic() - t1)
         _log.debug("kf %d ba: assemble=%.0f dispatch=%.0f ms (K=%d L=%d)",
                    cur.id, (t1 - t0) * 1e3, (time.monotonic() - t1) * 1e3,
                    K, L)
@@ -913,8 +955,12 @@ class MappingModule:
                 map_db.landmarks[i] for i in live_ids.tolist()
                 if i not in pruned and i in map_db.landmarks
             ]
+            # normals/ranges only: the reference's post-BA refresh is
+            # update_mean_normal_and_obs_scale_variance without
+            # compute_descriptor (local_bundle_adjuster_g2o.cc:408), and
+            # the descriptor medians dominate the refresh cost
             map_db.batch_refresh_landmark_stats(
-                moved, self.orb_params.scale_factors)
+                moved, self.orb_params.scale_factors, compute_desc=False)
             # marker corner write-back (reference cc:411-427)
             for mk, ci, row in marker_rows:
                 if not mk.keep_fixed:
@@ -926,6 +972,9 @@ class MappingModule:
             center_kf_id=p["center"],
             max_local_keyframes=self.max_num_local_keyfrms)
         self.local_ba_ms.append((time.monotonic() - p["t0"]) * 1e3)
+        PERF.add("ba/wb.fetch", _t1 - _t0)
+        PERF.add("ba/wb.write", _t2 - _t1)
+        PERF.add("ba/wb.publish", time.monotonic() - _t2)
         _log.debug("kf %d ba writeback: fetch=%.0f write=%.0f publish=%.0f ms",
                    p["center"], (_t1 - _t0) * 1e3, (_t2 - _t1) * 1e3,
                    (time.monotonic() - _t2) * 1e3)

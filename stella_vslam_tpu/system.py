@@ -29,6 +29,7 @@ from stella_vslam_tpu.global_optimization_module import GlobalOptimizationModule
 from stella_vslam_tpu.mapping_module import MappingModule
 from stella_vslam_tpu.module.relocalizer import Relocalizer
 from stella_vslam_tpu.tracking_module import TrackingModule
+from stella_vslam_tpu.util.perf import PERF
 
 
 class System:
@@ -334,11 +335,21 @@ class System:
 
     # ------------------------------------------------------------------
     def create_monocular_frame(self, img, timestamp: float, mask=None) -> Frame:
+        _t0 = time.monotonic()
         img = self._to_gray(img)
         if mask is None:
-            feats, und, bear, packed = self._mono_preprocess(jnp.asarray(img))
+            _t1 = time.monotonic()
+            dev_img = jnp.asarray(img)
+            _t2 = time.monotonic()
+            feats, und, bear, packed = self._mono_preprocess(dev_img)
+            _t3 = time.monotonic()
             frm = Frame(timestamp, self.camera, self.orb_params, feats, und, bear)
             frm.attach_packed_host(packed)
+            _t4 = time.monotonic()
+            PERF.add("feed/pre.gray", _t1 - _t0)
+            PERF.add("feed/pre.upload", _t2 - _t1)
+            PERF.add("feed/pre.dispatch", _t3 - _t2)
+            PERF.add("feed/pre.frame", _t4 - _t3)
         else:
             feats = self.extractor.extract(jnp.asarray(img), mask)
             und, bear = self._preprocess(feats.xy)
@@ -362,13 +373,17 @@ class System:
     def feed_monocular_frame(self, img, timestamp: float, mask=None):
         t0 = time.time()
         frm = self.create_monocular_frame(img, timestamp, mask)
-        t_ext = time.time() - t0
+        t1 = time.time()
+        t_ext = t1 - t0
+        PERF.add("feed/preprocess", t_ext)
         pose = self.tracker.feed_frame(frm)
+        PERF.add("feed/track", time.time() - t1)
         if self.inline_mapping:
             self._drain_mapper_inline()
         else:
             self._yield_to_mapper()
         self.track_times.append(time.time() - t0)
+        PERF.add("feed/total", self.track_times[-1])
         self._publish(img, frm, pose, extraction_time_s=t_ext)
         return pose
 

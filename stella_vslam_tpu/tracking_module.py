@@ -38,6 +38,7 @@ from stella_vslam_tpu.module.keyframe_inserter import KeyframeInserter
 from stella_vslam_tpu.module.tracking_kernels import TrackingKernels, make_cam_scalars
 from stella_vslam_tpu.ops.optim import ba as ba_mod
 from stella_vslam_tpu.util.fetch import fetch_all
+from stella_vslam_tpu.util.perf import PERF
 
 _log = logging.getLogger(__name__)
 
@@ -520,6 +521,9 @@ class TrackingModule:
             # chip runs lost their loop closure to the shifted cadence.)
             self._cond.wait(timeout=1.0)
             self._ensure_fin_thread()
+        if _wait_t0 is not None:
+            PERF.add(f"feed/wait.{_wait_why}",
+                     _time.monotonic() - _wait_t0)
         if _wait_t0 is not None and _log.isEnabledFor(logging.DEBUG):
             dt = (_time.monotonic() - _wait_t0) * 1e3
             if dt > 30:
@@ -733,6 +737,7 @@ class TrackingModule:
             with self._cond:
                 self._insert_busy = False
                 self._cond.notify_all()
+        PERF.add("fin/kf_insert", _time.monotonic() - t0)
         _log.debug("kf insert frame %d: insert %.1f ms (off-lock)",
                    frm.id, (_time.monotonic() - t0) * 1e3)
 
@@ -753,7 +758,10 @@ class TrackingModule:
         if p.fetched is None:
             # not yet submitted for fetch (partial batch forced out early)
             self._flush_batch()
+        _tw = _time.monotonic()
         p.fetched.wait()
+        _th = _time.monotonic()
+        PERF.add("fin/fetch_wait", _th - _tw)
         if isinstance(p.host_packed, Exception):
             raise p.host_packed
         packed = p.host_packed
@@ -785,6 +793,7 @@ class TrackingModule:
         T[:3, :3] = pose12[:9].reshape(3, 3)
         T[:3, 3] = pose12[9:12]
         frm.set_pose_cw(T)
+        _t_pose = _time.monotonic()
 
         # association bookkeeping: landmark ids come straight from the device
         # chain (already deduplicated and inlier-masked on device); forward
@@ -804,10 +813,13 @@ class TrackingModule:
             ids[dup] = -1
         inlier = flags[:n]
 
+        PERF.add("fin/h.ids", _time.monotonic() - _t_pose)
+        _t_ids = _time.monotonic()
         # observability counters (resolved via the dispatch-time id layout)
         obs_mask = flags[n:]
         tbl.bump_observable(obs_mask, p.tbl_ids)
         tbl.bump_observed(frm.lm_ids)
+        PERF.add("fin/h.bump", _time.monotonic() - _t_ids)
 
         self.num_tracked_lms = num_final
         # twist from the (now finalized) previous frame's pose; unavailable
@@ -826,6 +838,7 @@ class TrackingModule:
         # the trajectory reconstruction inherits a long rel lever arm that
         # amplifies any later refinement of the far keyframe (measured:
         # 93-164 mm on return-leg frames anchored 0.4-0.66 map-units away).
+        _t_ref = _time.monotonic()
         valid_lms = frm.lm_ids[frm.lm_ids >= 0]
         if len(valid_lms):
             obs_kfs, obs_cnts = self.map_db.assoc_store.covis_counts(
@@ -839,6 +852,7 @@ class TrackingModule:
                     if kf_new is not None and not kf_new.will_be_erased:
                         self.ref_keyfrm_id = int(obs_kfs[b])
 
+        PERF.add("fin/h.refsel", _time.monotonic() - _t_ref)
         # keyframe insertion
         if self.mapping_is_enabled:
             t0 = _time.monotonic()
@@ -866,6 +880,8 @@ class TrackingModule:
                 self.last_keyfrm_time = frm.timestamp
                 _log.debug("kf insert frame %d queued: reliable-count "
                            "%.1f ms", frm.id, (t1 - t0) * 1e3)
+        if self.mapping_is_enabled:
+            PERF.add("fin/h.kfneed", _time.monotonic() - t0)
         frm.ref_keyfrm_id = self.ref_keyfrm_id
         # frame statistics: relative pose to the reference keyframe so the
         # exported trajectory benefits from later keyframe-pose refinement
@@ -880,6 +896,7 @@ class TrackingModule:
         # map-sync state for _resync_chain_with_map
         self._last_rel = rel
         self._prev_host_pose = prev_pose
+        PERF.add("fin/host", _time.monotonic() - _th)
 
     def _on_lost(self, frm: Frame):
         self.finalized.append((frm.id, frm.timestamp, None, frm.ref_keyfrm_id, None))
