@@ -273,12 +273,17 @@ void store_count_redundant(void* s, int64_t kf_id, const int64_t* lm_ids,
 // move with every BA, so they are passed per call; descriptors/levels come
 // from the immutable registry). out_flags bit0: descriptor written, bit1:
 // normal written, bit2: distance range written.
+// compute_desc=0 skips the O(num_obs^2) representative-descriptor medians —
+// the reference's post-BA refresh is normals/depth only
+// (local_bundle_adjuster_g2o.cc:408), and the descriptor pass dominates
+// this function's cost.
 void store_batch_landmark_refresh(
     void* s, const int64_t* lm_ids, int32_t M, const double* lm_pos,
     const int64_t* ref_kf_ids, const int64_t* kf_ids,
     const double* kf_centers, int32_t K, const double* scale_factors,
-    int32_t num_levels, uint32_t* out_desc, double* out_normal,
-    double* out_dmin, double* out_dmax, uint8_t* out_flags) {
+    int32_t num_levels, int32_t compute_desc, uint32_t* out_desc,
+    double* out_normal, double* out_dmin, double* out_dmax,
+    uint8_t* out_flags) {
     Store* st = static_cast<Store*>(s);
     std::unordered_map<int64_t, int32_t> row_of;
     row_of.reserve(K * 2);
@@ -290,21 +295,23 @@ void store_batch_landmark_refresh(
         if (it == st->obs.end() || it->second.empty()) continue;
         const auto& obs = it->second;
         // representative descriptor
-        descs.clear();
-        for (const auto& o : obs) {
-            auto kit = st->kfs.find(o.kf_id);
-            if (kit == st->kfs.end()) continue;
-            const auto& kf = kit->second;
-            if ((size_t)o.idx * 8 + 8 > kf.desc.size()) continue;
-            descs.insert(descs.end(), &kf.desc[(size_t)o.idx * 8],
-                         &kf.desc[(size_t)o.idx * 8 + 8]);
-        }
-        int32_t nd = (int32_t)(descs.size() / 8);
-        if (nd > 0) {
-            int32_t w = pick_median_hamming(descs.data(), nd);
-            std::memcpy(out_desc + (size_t)m * 8, &descs[(size_t)w * 8],
-                        8 * sizeof(uint32_t));
-            out_flags[m] |= 1;
+        if (compute_desc) {
+            descs.clear();
+            for (const auto& o : obs) {
+                auto kit = st->kfs.find(o.kf_id);
+                if (kit == st->kfs.end()) continue;
+                const auto& kf = kit->second;
+                if ((size_t)o.idx * 8 + 8 > kf.desc.size()) continue;
+                descs.insert(descs.end(), &kf.desc[(size_t)o.idx * 8],
+                             &kf.desc[(size_t)o.idx * 8 + 8]);
+            }
+            int32_t nd = (int32_t)(descs.size() / 8);
+            if (nd > 0) {
+                int32_t w = pick_median_hamming(descs.data(), nd);
+                std::memcpy(out_desc + (size_t)m * 8, &descs[(size_t)w * 8],
+                            8 * sizeof(uint32_t));
+                out_flags[m] |= 1;
+            }
         }
         // mean viewing normal
         const double* p = lm_pos + (size_t)m * 3;

@@ -247,37 +247,57 @@ class DeviceLandmarkTable:
         # raised "dictionary changed size during iteration" mid-bench and
         # killed the mapper thread)
         self._pend_lock = threading.Lock()
-        self._pend_observable: Dict[int, int] = {}
-        self._pend_observed: Dict[int, int] = {}
+        # flat count arrays indexed by landmark id (grown on demand): the
+        # bumps run on EVERY frame finalize on the one-core host, where the
+        # old per-id dict loop cost ~0.5-1 ms/frame; a vectorized fancy-add
+        # is ~20 us and the (still per-id) fold loop runs only at refresh
+        self._pend_observable = np.zeros(1 << 14, np.int32)
+        self._pend_observed = np.zeros(1 << 14, np.int32)
+
+    def _pend_ensure(self, max_id: int):
+        if max_id < len(self._pend_observable):
+            return
+        cap = 1 << int(np.ceil(np.log2(max_id + 1)))
+        for name in ("_pend_observable", "_pend_observed"):
+            old = getattr(self, name)
+            new = np.zeros(cap, np.int32)
+            new[: len(old)] = old
+            setattr(self, name, new)
 
     def bump_observable(self, mask: np.ndarray, ids: np.ndarray):
         """`mask` is per-row in the layout described by `ids` (the caller's
-        snapshot of self.ids taken when the device program was dispatched)."""
+        snapshot of self.ids taken when the device program was dispatched).
+        Table rows carry unique ids, so a direct fancy-add is exact."""
         n = min(len(mask), len(ids))
         sel = ids[:n][mask[:n]]
+        sel = sel[sel >= 0]
+        if len(sel) == 0:
+            return
         with self._pend_lock:
-            for k in sel[sel >= 0]:
-                k = int(k)
-                self._pend_observable[k] = self._pend_observable.get(k, 0) + 1
+            self._pend_ensure(int(sel.max()))
+            self._pend_observable[sel] += 1
 
     def bump_observed(self, lm_ids: np.ndarray):
+        sel = lm_ids[lm_ids >= 0]
+        if len(sel) == 0:
+            return
         with self._pend_lock:
-            for lm_id in lm_ids[lm_ids >= 0]:
-                k = int(lm_id)
-                self._pend_observed[k] = self._pend_observed.get(k, 0) + 1
+            self._pend_ensure(int(sel.max()))
+            # finalize dedups slot ids, so indices are unique
+            self._pend_observed[sel] += 1
 
     def _fold_counters(self, landmarks: Dict[int, Landmark]):
         with self._pend_lock:
-            pend_able, self._pend_observable = self._pend_observable, {}
-            pend_ed, self._pend_observed = self._pend_observed, {}
-        for lm_id, cnt in pend_able.items():
-            lm = landmarks.get(lm_id)
-            if lm is not None:
-                lm.num_observable += cnt
-        for lm_id, cnt in pend_ed.items():
-            lm = landmarks.get(lm_id)
-            if lm is not None:
-                lm.num_observed += cnt
+            pend_able = self._pend_observable
+            pend_ed = self._pend_observed
+            self._pend_observable = np.zeros_like(pend_able)
+            self._pend_observed = np.zeros_like(pend_ed)
+        for arr, attr in ((pend_able, "num_observable"),
+                          (pend_ed, "num_observed")):
+            for lm_id in np.nonzero(arr)[0].tolist():
+                lm = landmarks.get(lm_id)
+                if lm is not None:
+                    setattr(lm, attr, getattr(lm, attr) + int(arr[lm_id]))
 
     def refresh(self, landmarks: Dict[int, Landmark], map_db,
                 local_ids=None):
@@ -606,12 +626,15 @@ class MapDatabase:
                 new.compute_descriptor(self)
                 new.update_mean_normal_and_obs_scale_variance(self)
 
-    def batch_refresh_landmark_stats(self, lms, scale_factors):
+    def batch_refresh_landmark_stats(self, lms, scale_factors,
+                                     compute_desc: bool = True):
         """Batched equivalent of per-landmark compute_descriptor +
         update_mean_normal_and_obs_scale_variance, computed in the native
         map core with the GIL released. The per-landmark Python versions
         cost ~0.15 ms each; a mapped keyframe touches thousands of
-        landmarks, which made this the mapper's single biggest host cost."""
+        landmarks, which made this the mapper's single biggest host cost.
+        compute_desc=False refreshes normals/ranges only (the reference's
+        post-BA refresh, local_bundle_adjuster_g2o.cc:408)."""
         with self.lock:
             lms = [
                 lm for lm in lms
@@ -631,7 +654,8 @@ class MapDatabase:
             ref_ids = np.array([lm.ref_keyfrm_id for lm in lms], np.int64)
             desc, normal, dmin, dmax, flags = \
                 self.assoc_store.batch_landmark_refresh(
-                    lm_ids, lm_pos, ref_ids, kf_ids, centers, scale_factors)
+                    lm_ids, lm_pos, ref_ids, kf_ids, centers, scale_factors,
+                    compute_desc=compute_desc)
             # vectorized write-through into the field store (every landmark
             # in self.landmarks is attached)
             fs = self.fields

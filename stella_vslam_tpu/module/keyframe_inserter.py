@@ -147,10 +147,11 @@ class KeyframeInserter:
         map_db.add_keyframe(kf)
         if timing:
             _t.append(_time.monotonic())
-        map_db.batch_refresh_landmark_stats(
-            [map_db.landmarks.get(int(i)) for i in kf.lm_ids if i >= 0],
-            kf.orb_params.scale_factors,
-        )
+        # landmark stats after the new observations (reference
+        # keyframe::update_landmarks, keyframe.cc:430-447) ride the mapper
+        # event's ONE consolidated refresh (MappingModule._event_start ->
+        # _flush_dirty_stats) instead of a separate call here on the
+        # tracker's finalize thread — same landmarks, refreshed once
         if timing:
             _t.append(_time.monotonic())
 

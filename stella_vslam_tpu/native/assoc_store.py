@@ -131,10 +131,14 @@ class AssocStore:
         return out[0].value, out[1].value
 
     def batch_landmark_refresh(self, lm_ids, lm_pos, ref_kf_ids, kf_ids,
-                               kf_centers, scale_factors):
+                               kf_centers, scale_factors,
+                               compute_desc: bool = True):
         """Batched representative-descriptor + mean-normal + scale-range
         computation (reference landmark.cc compute_descriptor /
         update_mean_normal_and_obs_scale_variance) — releases the GIL.
+        compute_desc=False skips the descriptor medians (the reference's
+        post-BA refresh is update_mean_normal only,
+        local_bundle_adjuster_g2o.cc:408).
         Returns (desc [M,8]u32, normal [M,3], dmin [M], dmax [M],
         flags [M]u8: bit0 desc, bit1 normal, bit2 range valid)."""
         M = len(lm_ids)
@@ -154,7 +158,8 @@ class AssocStore:
             self._h, _p64(lm_ids), M, lm_pos.ctypes.data_as(_dp),
             _p64(ref_kf_ids), _p64(kf_ids), kf_centers.ctypes.data_as(_dp),
             len(kf_ids), scale_factors.ctypes.data_as(_dp),
-            len(scale_factors), out_desc.ctypes.data_as(_u32p),
+            len(scale_factors), 1 if compute_desc else 0,
+            out_desc.ctypes.data_as(_u32p),
             out_normal.ctypes.data_as(_dp), out_dmin.ctypes.data_as(_dp),
             out_dmax.ctypes.data_as(_dp), out_flags.ctypes.data_as(_u8p),
         )

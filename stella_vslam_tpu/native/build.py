@@ -79,7 +79,8 @@ def load_mapcore() -> ctypes.CDLL:
     lib.store_batch_landmark_refresh.argtypes = [
         c.c_void_p, c.POINTER(c.c_int64), c.c_int32, _dp,
         c.POINTER(c.c_int64), c.POINTER(c.c_int64), _dp, c.c_int32, _dp,
-        c.c_int32, c.POINTER(c.c_uint32), _dp, _dp, _dp, c.POINTER(c.c_uint8),
+        c.c_int32, c.c_int32, c.POINTER(c.c_uint32), _dp, _dp, _dp,
+        c.POINTER(c.c_uint8),
     ]
     _cached = lib
     return lib

@@ -27,7 +27,11 @@ class PlaneWorld:
             w, h = rng.integers(4, 40, 2)
             cv2.rectangle(tex, (int(x), int(y)), (int(x + w), int(y + h)),
                           float(rng.uniform(20, 235)), -1)
-        self.texture = cv2.GaussianBlur(tex, (3, 3), 0.8)
+        # stored (and rendered) as uint8: real camera feeds deliver u8, and
+        # a float render would push a ~2 ms/frame clip+cast into the timed
+        # feed path of every consumer (System._to_gray)
+        self.texture = np.clip(
+            cv2.GaussianBlur(tex, (3, 3), 0.8), 0, 255).astype(np.uint8)
         self.tex_size = tex_size
 
     def camera_yaml(self):
@@ -113,7 +117,7 @@ class BoxWorld:
         p = c + d * t_exit[..., None]  # [H,W,3] hit points
         # face id = axis*2 + (positive side)
         sign_pos = np.take_along_axis(d, face_axis[..., None], axis=-1)[..., 0] > 0
-        img = np.zeros((self.H, self.W), np.float32)
+        img = np.zeros((self.H, self.W), np.float32)  # u8 at return
         uv_axes = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
         for axis in range(3):
             for pos in (False, True):
@@ -135,7 +139,7 @@ class BoxWorld:
                     + tex[y0 + 1, x0] * (1 - fx_) * fy_
                     + tex[y0 + 1, x0 + 1] * fx_ * fy_
                 )
-        return img
+        return np.clip(img, 0, 255).astype(np.uint8)
 
 
 def lateral_trajectory(n_frames: int, step=0.02, yaw_rate=0.002):
