@@ -22,25 +22,26 @@ from stella_vslam_tpu.data.keyframe import Keyframe
 from stella_vslam_tpu.data.landmark import Landmark
 
 
-def _map_to_dict(system) -> dict:
-    map_db = system.map_db
-    with map_db.lock:
-        d = map_db.to_json(
-            # full registries: maps are self-describing and may carry several
-            # named cameras / feature settings (reference camera_database.h,
-            # orb_params_database.h)
-            cameras={n: c.to_json() for n, c in system.cameras.items()},
-            orb_params={
-                n: p.to_json() for n, p in system.orb_params_registry.items()
-            },
-        )
-        # landmark observations (graph) per landmark
-        for lm_id, lm in map_db.landmarks.items():
-            d["landmarks"][str(lm_id)]["observations"] = {
-                str(k): int(v) for k, v in lm.observations.items()
-            }
-        d["origin_keyfrm_id"] = map_db.origin_keyfrm_id
-    return d
+def _rot_to_quat(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> quaternion (x, y, z, w), Eigen coefficient order
+    (reference data/common.cc:13-16 convert_rotation_to_json)."""
+    from stella_vslam_tpu.io.trajectory_io import _rot_to_quat as _f
+
+    return _f(R)
+
+
+def _quat_to_rot(q) -> np.ndarray:
+    """Quaternion (x, y, z, w) -> rotation matrix (reference
+    data/common.cc:18-21 convert_json_to_rotation)."""
+    x, y, z, w = (float(v) for v in q)
+    n = np.sqrt(x * x + y * y + z * z + w * w)
+    if n > 0:
+        x, y, z, w = x / n, y / n, z / n, w / n
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
 
 
 def _dict_to_map(system, d: dict):
@@ -125,18 +126,184 @@ def _dict_to_map(system, d: dict):
 
 
 # ---------------------------------------------------------------------------
+def _camera_to_ref_json(cam) -> dict:
+    """Per-model camera JSON exactly as the reference emits it
+    (perspective.cc:172-189, fisheye.cc:211-227, equirectangular.cc:82-90,
+    radial_division.cc:158-173)."""
+    p = cam.params
+    g = float
+    d = {
+        "model_type": _MODEL_STR[cam.model.name],
+        "setup_type": _SETUP_STR[cam.setup.name],
+        "color_order": cam.color_order,
+        "cols": cam.width, "rows": cam.height, "fps": g(cam.fps),
+        "focal_x_baseline": g(p.focal_x_baseline),
+    }
+    m = cam.model.name
+    if m == "PERSPECTIVE":
+        d.update(fx=g(p.fx), fy=g(p.fy), cx=g(p.cx), cy=g(p.cy),
+                 k1=g(p.k1), k2=g(p.k2), p1=g(p.p1), p2=g(p.p2), k3=g(p.k3))
+    elif m == "FISHEYE":
+        d.update(fx=g(p.fx), fy=g(p.fy), cx=g(p.cx), cy=g(p.cy),
+                 k1=g(p.k1), k2=g(p.k2), k3=g(p.k3), k4=g(p.k4))
+    elif m == "RADIAL_DIVISION":
+        d.update(fx=g(p.fx), fy=g(p.fy), cx=g(p.cx), cy=g(p.cy),
+                 distortion=g(p.k1))
+    return d
+
+
+def _camera_from_ref_json(name: str, cj: dict) -> dict:
+    """Normalize a reference camera JSON into Camera.from_json's surface."""
+    d = dict(cj, name=name)
+    model = str(cj.get("model_type", "perspective"))
+    d["model_type"] = model.lower().replace("radialdivision",
+                                            "radial_division")
+    d["setup_type"] = str(cj.get("setup_type", "monocular")).lower()
+    if "distortion" in cj:  # radial-division's single parameter rides k1
+        d["k1"] = cj["distortion"]
+    return d
+
+
 class MapDatabaseIOMsgpack:
+    """Reference-encoding msgpack maps.
+
+    Byte-level schema of io/map_database_io_msgpack.cc:31-47: one msgpack
+    document {"cameras", "orb_params", "keyframes", "landmarks",
+    "keyframe_next_id", "landmark_next_id"}, keyframes/landmarks keyed by
+    DECIMAL-STRING ids, each keyframe encoded per keyframe::to_json
+    (keyframe.cc:283-299): quaternion "rot_cw" [x,y,z,w] + "trans_cw",
+    "undist_keypts" as keypoint dicts {"pt":[x,y], "ang":degrees, "oct":int},
+    "descs" as rows of 8 uint32 words (data/common.cc:57-69), slot-aligned
+    "lm_ids", spanning tree + loop edges; landmarks per landmark::to_json
+    (landmark.cc:441-447). Maps written here load in the reference binary
+    and reference-written maps load here (landmark-keyframe associations are
+    rebuilt from lm_ids, map_database.cc:299-308 register_association)."""
+
     def save(self, path: str, system):
         import msgpack
 
+        map_db = system.map_db
+        with map_db.lock:
+            keyframes = {}
+            mono = system.camera.setup.name == "MONOCULAR"
+            alive = map_db.fields.alive
+            for kf_id in sorted(map_db.keyframes):
+                kf = map_db.keyframes[kf_id]
+                n = kf.num_slots
+                uv = np.asarray(kf.h_undist_xy, float)
+                ang = np.degrees(np.asarray(kf.h_angle, float)) % 360.0
+                oct_ = np.asarray(kf.h_level, int)
+                # liveness-masked slot ids (reference keyframe.cc:255-260)
+                lm_ids = np.asarray(kf.lm_ids, np.int64).copy()
+                occ = lm_ids >= 0
+                lm_ids[occ] = np.where(alive[lm_ids[occ]], lm_ids[occ], -1)
+                gn = kf.graph_node
+                keyframes[str(int(kf_id))] = {
+                    "ts": float(kf.timestamp),
+                    "cam": kf.camera.name,
+                    "orb_params": kf.orb_params.name,
+                    "rot_cw": [float(v) for v in _rot_to_quat(
+                        kf.pose_cw[:3, :3])],
+                    "trans_cw": [float(v) for v in kf.pose_cw[:3, 3]],
+                    "n_keypts": int(n),
+                    "undist_keypts": [
+                        {"pt": [float(uv[i, 0]), float(uv[i, 1])],
+                         "ang": float(ang[i]), "oct": int(oct_[i])}
+                        for i in range(n)
+                    ],
+                    # mono stereo/depth vectors are empty in the reference
+                    "x_rights": ([] if mono else
+                                 [float(v) for v in kf.h_x_right]),
+                    "depths": ([] if mono else
+                               [float(v) for v in kf.h_depths]),
+                    "descs": np.asarray(kf.h_desc, np.uint32).tolist(),
+                    "lm_ids": [int(v) for v in lm_ids],
+                    "span_parent": (-1 if gn.spanning_parent is None
+                                    else int(gn.spanning_parent)),
+                    "span_children": sorted(int(c)
+                                            for c in gn.spanning_children),
+                    "loop_edges": sorted(int(e) for e in gn.loop_edges),
+                }
+            landmarks = {}
+            for lm_id in sorted(map_db.landmarks):
+                lm = map_db.landmarks[lm_id]
+                landmarks[str(int(lm_id))] = {
+                    "1st_keyfrm": int(lm.first_keyfrm_id),
+                    "pos_w": [float(v) for v in lm.pos_w],
+                    "ref_keyfrm": int(lm.ref_keyfrm_id),
+                    "n_vis": int(lm.num_observable),
+                    "n_fnd": int(lm.num_observed),
+                }
+            doc = {
+                "cameras": {n: _camera_to_ref_json(c)
+                            for n, c in system.cameras.items()},
+                "orb_params": {
+                    n: p.to_json()
+                    for n, p in system.orb_params_registry.items()
+                },
+                "keyframes": keyframes,
+                "landmarks": landmarks,
+                "keyframe_next_id": int(map_db._next_keyfrm_id),
+                "landmark_next_id": int(map_db._next_landmark_id),
+            }
         with open(path, "wb") as f:
-            f.write(msgpack.packb(_map_to_dict(system), use_single_float=True))
+            f.write(msgpack.packb(doc))
 
     def load(self, path: str, system):
         import msgpack
 
         with open(path, "rb") as f:
-            d = msgpack.unpackb(f.read(), strict_map_key=False)
+            doc = msgpack.unpackb(f.read(), strict_map_key=False)
+        d = {"cameras": {}, "orb_params": {}, "keyframes": {},
+             "landmarks": {}}
+        for name, cj in doc.get("cameras", {}).items():
+            d["cameras"][name] = _camera_from_ref_json(name, cj)
+        d["orb_params"] = doc.get("orb_params", {})
+        for kf_id_s, kj in doc.get("keyframes", {}).items():
+            n = int(kj["n_keypts"])
+            kpts = kj["undist_keypts"]
+            uv = [[float(k["pt"][0]), float(k["pt"][1])] for k in kpts]
+            T = np.eye(4)
+            T[:3, :3] = _quat_to_rot(kj["rot_cw"])
+            T[:3, 3] = [float(v) for v in kj["trans_cw"]]
+            xr = [float(v) for v in kj.get("x_rights", [])]
+            dp = [float(v) for v in kj.get("depths", [])]
+            d["keyframes"][str(int(kf_id_s))] = {
+                "ts": float(kj["ts"]),
+                "cam": kj.get("cam"), "orb_params": kj.get("orb_params"),
+                "pose_cw": T.reshape(-1).tolist(),
+                "n_keypts": n,
+                "keypts": uv,
+                "undist_keypts": uv,
+                "angles": np.radians(
+                    [float(k["ang"]) for k in kpts]).tolist(),
+                "levels": [int(k["oct"]) for k in kpts],
+                "valid": [1] * n,
+                "x_rights": xr if len(xr) == n else [-1.0] * n,
+                "depths": dp if len(dp) == n else [0.0] * n,
+                "descs": kj["descs"],
+                "lm_ids": [int(v) for v in kj["lm_ids"]],
+                "span_parent": int(kj.get("span_parent", -1)),
+                "span_children": [int(v) for v in
+                                  kj.get("span_children", [])],
+                "loop_edges": [int(v) for v in kj.get("loop_edges", [])],
+            }
+        for lm_id_s, lj in doc.get("landmarks", {}).items():
+            pos = lj["pos_w"]
+            d["landmarks"][str(int(lm_id_s))] = {
+                "1st_keyfrm": int(lj.get("1st_keyfrm", -1)),
+                "pos_x": float(pos[0]), "pos_y": float(pos[1]),
+                "pos_z": float(pos[2]),
+                "ref_keyfrm": int(lj["ref_keyfrm"]),
+                "n_vis": int(lj.get("n_vis", 1)),
+                "n_fnd": int(lj.get("n_fnd", 1)),
+            }
+        d["keyframe_next_id"] = int(doc.get("keyframe_next_id", 0))
+        d["landmark_next_id"] = int(doc.get("landmark_next_id", 0))
+        if d["keyframes"]:
+            d["origin_keyfrm_id"] = min(int(k) for k in d["keyframes"])
+        else:
+            d["origin_keyfrm_id"] = None
         _dict_to_map(system, d)
 
 
