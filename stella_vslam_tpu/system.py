@@ -184,6 +184,16 @@ class System:
 
         self._mono_preprocess = _mono_preprocess
 
+        # stereo rectification (reference util/stereo_rectifier.cc:14-60):
+        # built from the StereoRectifier YAML section when present; applied
+        # to every raw input pair in create_stereo_frame
+        self.stereo_rectifier = None
+        sr = cfg.section("StereoRectifier")
+        if sr and self.camera.setup == Setup.STEREO:
+            from stella_vslam_tpu.util.stereo_rectifier import StereoRectifier
+
+            self.stereo_rectifier = StereoRectifier(self.camera, sr)
+
         # fused stereo preprocess: both extractions (one vmapped program),
         # row matching, undistort/bearings, and host-mirror pack in ONE call
         if self.camera.setup == Setup.STEREO:
@@ -413,12 +423,17 @@ class System:
 
     def create_stereo_frame(self, img_left, img_right, timestamp: float,
                             mask=None) -> Frame:
-        """Rectified stereo pair -> row-matched depths
-        (reference system.cc:426-470: parallel L/R extraction + stereo match;
-        here extraction, row matching, undistortion and the host-mirror pack
-        are ONE fused device program)."""
+        """Stereo pair -> row-matched depths (reference system.cc:426-470:
+        parallel L/R extraction + stereo match; here extraction, row
+        matching, undistortion and the host-mirror pack are ONE fused device
+        program). When a `StereoRectifier` config section is present, raw
+        (distorted/unaligned) input pairs are rectified host-side first —
+        the reference examples rectify every EuRoC pair before
+        feed_stereo_frame (util/stereo_rectifier.cc:62-67)."""
         gl = self._to_gray(img_left)
         gr = self._to_gray(img_right)
+        if self.stereo_rectifier is not None:
+            gl, gr = self.stereo_rectifier.rectify(gl, gr)
         feats_l, und, bear, x_right, depths, packed = self._stereo_preprocess(
             jnp.asarray(gl), jnp.asarray(gr))
         frm = Frame(
