@@ -83,6 +83,45 @@ def iter_euroc(mav0, stereo):
         yield ts * 1e-9, img, img_r
 
 
+def make_depth_lookup(depth_dir: str, tolerance_s: float = 0.02):
+    """Depth-image association for RGBD feeds.
+
+    TUM RGB-D sequences name depth PNGs by capture timestamp
+    (`<seconds>.png`, reference example/tum_rgbd layout) and the RGB/depth
+    streams are NOT frame-aligned — after any dropped image, index pairing
+    silently mis-pairs every subsequent frame. When every filename parses
+    as a float timestamp, pair each RGB frame with the nearest depth
+    timestamp within `tolerance_s` (none -> frame skipped). Otherwise fall
+    back to index pairing (plain numbered dumps).
+
+    Returns lookup(ts, index) -> filename | None."""
+    files = sorted(os.listdir(depth_dir))
+    stamps = []
+    try:
+        stamps = [float(os.path.splitext(f)[0]) for f in files]
+    except ValueError:
+        stamps = None
+    if not files:
+        return lambda ts, i: None
+    if stamps is None:
+        return lambda ts, i: files[min(i, len(files) - 1)]
+    order = np.argsort(stamps)
+    sorted_stamps = np.asarray(stamps)[order]
+    sorted_files = [files[j] for j in order]
+
+    def lookup(ts, _i):
+        j = int(np.searchsorted(sorted_stamps, ts))
+        best, best_dt = None, tolerance_s
+        for k in (j - 1, j):
+            if 0 <= k < len(sorted_stamps):
+                dt = abs(float(sorted_stamps[k]) - ts)
+                if dt <= best_dt:
+                    best, best_dt = sorted_files[k], dt
+        return best
+
+    return lookup
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", required=True, help="YAML config (reference-compatible)")
@@ -112,6 +151,13 @@ def main(argv=None):
     from stella_vslam_tpu.system import System
 
     cfg = Config.from_yaml_file(args.config)
+    if args.depth_dir and "depthmap_factor" not in cfg.node.get(
+            "Preprocessing", {}):
+        # CLI fallback for configs without Preprocessing.depthmap_factor
+        # (the reference reads the YAML key, system.cc:86-92; --depth-scale
+        # keeps old invocations working)
+        cfg.node.setdefault("Preprocessing", {})["depthmap_factor"] = \
+            args.depth_scale
     slam = System(cfg, vocab_path=args.vocab, inline_mapping=args.inline_mapping)
     if args.map_db_in:
         slam.load_map_database(args.map_db_in)
@@ -133,20 +179,30 @@ def main(argv=None):
         it = iter_euroc(args.euroc, setup == "stereo")
 
     n = 0
-    depth_files = None
+    depth_lookup = None
+    n_depth_dropped = 0
     if args.depth_dir:
-        depth_files = sorted(os.listdir(args.depth_dir))
+        depth_lookup = make_depth_lookup(args.depth_dir)
     for i, (ts, img, img_r) in enumerate(it):
         if i % args.frame_skip:
             continue
         if setup == "stereo" and img_r is not None:
             slam.feed_stereo_frame(img, img_r, ts)
-        elif setup == "RGBD" and depth_files is not None:
+        elif setup == "RGBD" and depth_lookup is not None:
             import cv2
 
-            d = cv2.imread(os.path.join(args.depth_dir, depth_files[min(i, len(depth_files) - 1)]),
+            fname = depth_lookup(ts, i)
+            if fname is None:
+                # no depth within tolerance (dropped depth frame in a TUM
+                # RGB-D sequence): skip the frame rather than silently
+                # mis-pairing by index
+                n_depth_dropped += 1
+                continue
+            d = cv2.imread(os.path.join(args.depth_dir, fname),
                            cv2.IMREAD_UNCHANGED)
-            slam.feed_RGBD_frame(img, d.astype(np.float32) / args.depth_scale, ts)
+            # RAW units: System divides by Preprocessing.depthmap_factor
+            # (reference convert_to_true_depth, image_converter.cc:41-43)
+            slam.feed_RGBD_frame(img, d.astype(np.float32), ts)
         else:
             slam.feed_monocular_frame(img, ts)
         n += 1
@@ -156,6 +212,9 @@ def main(argv=None):
 
     tracked = sum(1 for (_, p, _, _) in slam.frame_poses if p is not None)
     med = float(np.median(slam.track_times) * 1000) if slam.track_times else 0.0
+    if n_depth_dropped:
+        print(f"skipped {n_depth_dropped} frames with no depth image "
+              f"within tolerance")
     print(f"fed {n} frames, tracked {tracked}, keyframes "
           f"{slam.map_db.num_keyframes()}, landmarks {slam.map_db.num_landmarks()}, "
           f"median track time {med:.1f} ms")

@@ -50,6 +50,12 @@ class System:
         pre = cfg.section("Preprocessing")
         min_size = int(pre.get("min_size", 800))
         mask_rects = pre.get("mask_rectangles", None)
+        # RGBD depth-unit conversion (reference system.cc:86-92 +
+        # util/image_converter.cc:41-43 convert_to_true_depth): raw depth
+        # images divide by this factor (TUM RGB-D PNGs: 5000 per meter)
+        self.depthmap_factor = float(pre.get("depthmap_factor", 1.0))
+        if self.depthmap_factor <= 0.0:
+            raise ValueError("depthmap_factor must be greater than 0")
 
         self.map_db = MapDatabase()
         # `Feature.descriptor_pattern: opencv` swaps in the OpenCV ORB pair
@@ -467,6 +473,7 @@ class System:
         # extraction is host-side — ours is not)
         if self._rgbd_preprocess is None:
             fxb = float(self.camera.params.focal_x_baseline)
+            inv_factor = 1.0 / self.depthmap_factor
             cam = self.camera
             ex = self.extractor
             from stella_vslam_tpu.data.frame import pack_host_cols
@@ -479,7 +486,9 @@ class System:
                 h, w = depth_map.shape
                 xs = jnp.clip(feats.xy[:, 0].astype(jnp.int32), 0, w - 1)
                 ys = jnp.clip(feats.xy[:, 1].astype(jnp.int32), 0, h - 1)
-                d = depth_map[ys, xs].astype(jnp.float32)
+                # convert_to_true_depth (image_converter.cc:41-43): raw
+                # units -> meters, fused into the sampling program
+                d = depth_map[ys, xs].astype(jnp.float32) * inv_factor
                 d = jnp.where(feats.valid & (d > 0), d, -1.0)
                 x_right = jnp.where(
                     d > 0, und[:, 0] - fxb / jnp.maximum(d, 1e-6), -1.0)
