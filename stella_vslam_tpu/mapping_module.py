@@ -109,9 +109,13 @@ class MappingModule:
         # post-correction events always run BA.
         self.ba_stride = int(os.environ.get("SVT_BA_STRIDE", "2"))
         # cap on optimized (non-fixed) local keyframes per local BA; 0 =
-        # reference behavior (whole covisibility set up to K-8). See
-        # _assemble_local_ba.
-        self.ba_local_cap = int(os.environ.get("SVT_BA_LOCAL_CAP", "0"))
+        # reference behavior (whole covisibility set up to K-8). Default 10
+        # keeps mature-map problems in the K=16 compiled bucket — measured
+        # on-chip 12-20 ms vs 34 ms at K=32 for the same 3+6 schedule, and
+        # every BA millisecond is device time the tracker's frames and the
+        # NEXT keyframe event queue behind; bench ATE is unchanged (27-39 mm
+        # across runs either way). See _assemble_local_ba.
+        self.ba_local_cap = int(os.environ.get("SVT_BA_LOCAL_CAP", "10"))
         self._events_since_ba = 0
 
         self._queue: "queue.Queue[Keyframe]" = queue.Queue()

@@ -108,6 +108,12 @@ class _ResultFetcher:
     def __init__(self, batch_size: int = 8):
         self._pool = None
         self.batch_size = batch_size
+        # EMA of submit->landing delay for a fetch batch: the tunnel's
+        # effective round-trip latency varies by 5-10x between windows, and
+        # the tracker's pipeline bounds scale with it (see
+        # _feed_frame_locked) — fixed bounds sized for a good window turn a
+        # high-latency window into a per-frame lag-bound stall
+        self.latency_ema = 0.04
 
     def submit_batch(self, ps):
         import threading
@@ -130,12 +136,15 @@ class _ResultFetcher:
             stacked.copy_to_host_async()
         except Exception:
             pass
-        self._pool.submit(self._fetch, stacked, list(ps))
+        self._pool.submit(self._fetch, stacked, list(ps), self,
+                          _time.monotonic())
 
     @staticmethod
-    def _fetch(stacked, ps):
+    def _fetch(stacked, ps, fetcher, t_submit):
         try:
             rows = np.asarray(stacked)
+            lat = _time.monotonic() - t_submit
+            fetcher.latency_ema += 0.25 * (lat - fetcher.latency_ema)
             for i, p in enumerate(ps):
                 p.host_packed = rows[i]
                 p.fetched.set()
@@ -490,6 +499,25 @@ class TrackingModule:
         )
         max_inflight = self.inflight_mapper_busy if mapper_busy \
             else self.max_inflight
+        # latency-adaptive bounds, STRICTLY conservative: a genuinely bad
+        # tunnel window (fetch batches landing 120+ ms after submit — good
+        # windows run 30-60 ms) turns the fixed 16-frame / 150 ms bounds
+        # into a per-frame lag-bound stall (measured: 24 s of feed waits in
+        # one run whose median frame was a healthy 5.2 ms). Only then:
+        # deepen the pipeline (never while the mapper is busy — a deep
+        # tracking queue ahead of the keyframe event's fetch starves the
+        # mapper, the queue>=2 backpressure skips local BA and vetoes
+        # insertion; measured 31 skips / no loop closure) and stretch the
+        # lag bound to 2x latency, capped at 0.3 s. Below the threshold the
+        # tuned static bounds apply unchanged — an earlier always-on
+        # variant shifted keyframe cadence in GOOD windows and lost
+        # tracking at the fast-view-change turn.
+        lat = self._fetcher.latency_ema
+        max_lag = self.max_lag_s
+        if lat > 0.12:
+            if not mapper_busy:
+                max_inflight = min(32, max_inflight + int(lat / 0.008))
+            max_lag = min(0.3, max(self.max_lag_s, 2.0 * lat))
         # The lag bound applies to the frame that was oldest when this feed
         # entered: wait until THAT frame finalizes (bounding its decision
         # staleness), not until the whole backlog clears. Holding the caller
@@ -506,7 +534,7 @@ class TrackingModule:
             too_stale = (
                 self._pending[0] is entry_oldest
                 and _time.monotonic() - entry_oldest.t_dispatch
-                > self.max_lag_s
+                > max_lag
             )
             if not (too_deep or too_stale):
                 break

@@ -11,15 +11,31 @@ import jax.numpy as jnp
 
 class PlaneWorld:
     """Texture on the world plane Z = depth; camera-from-world poses supplied.
-    World (X, Y) maps to texture pixels via meters_per_pixel."""
+    World (X, Y) maps to texture pixels via meters_per_pixel.
+
+    Hardening knobs (all deterministic; VERDICT r4 task 7 — the regimes
+    where FAST's two-threshold retry, landmark scale prediction and the
+    matcher margins earn their keep):
+      * panels: N floating textured rectangles at depths in
+        panel_depth_range IN FRONT of the base plane — genuine parallax
+        spread and occlusion boundaries (features appear/disappear)
+      * noise_sigma: per-pixel Gaussian intensity noise, seeded from the
+        pose so identical poses render identically
+      * exposure_amp: smooth exposure gain drift as a function of camera
+        position (photometric inconsistency between revisits)
+    """
 
     def __init__(self, width=400, height=300, fx=320.0, fy=320.0, depth=4.0,
-                 tex_size=2048, meters_per_px=0.01, seed=13):
+                 tex_size=2048, meters_per_px=0.01, seed=13,
+                 panels=0, panel_depth_range=(2.6, 3.6),
+                 noise_sigma=0.0, exposure_amp=0.0):
         self.W, self.H = width, height
         self.fx, self.fy = fx, fy
         self.cx, self.cy = width / 2.0, height / 2.0
         self.depth = depth
         self.mpp = meters_per_px
+        self.noise_sigma = float(noise_sigma)
+        self.exposure_amp = float(exposure_amp)
         rng = np.random.default_rng(seed)
         tex = np.zeros((tex_size, tex_size), np.float32)
         for _ in range(6000):
@@ -33,6 +49,28 @@ class PlaneWorld:
         self.texture = np.clip(
             cv2.GaussianBlur(tex, (3, 3), 0.8), 0, 255).astype(np.uint8)
         self.tex_size = tex_size
+        # floating panels: (x, y, w, h, depth, texture), sorted far->near so
+        # nearer panels composite last (painter's occlusion)
+        self.panels = []
+        if panels:
+            span = tex_size * meters_per_px
+            prng = np.random.default_rng(seed + 1)
+            for _ in range(panels):
+                w, h = prng.uniform(0.5, 1.3, 2)
+                px = prng.uniform(-span * 0.25, span * 0.48)
+                py = prng.uniform(-2.5, 3.0)
+                pd = prng.uniform(*panel_depth_range)
+                ptex = np.zeros((192, 192), np.float32)
+                for _ in range(220):
+                    tx, ty = prng.integers(0, 192, 2)
+                    tw, th = prng.integers(4, 30, 2)
+                    cv2.rectangle(ptex, (int(tx), int(ty)),
+                                  (int(tx + tw), int(ty + th)),
+                                  float(prng.uniform(20, 235)), -1)
+                ptex = np.clip(cv2.GaussianBlur(ptex, (3, 3), 0.8),
+                               0, 255).astype(np.uint8)
+                self.panels.append((px, py, w, h, pd, ptex))
+            self.panels.sort(key=lambda p: -p[4])
 
     def camera_yaml(self):
         return {
@@ -58,9 +96,48 @@ class PlaneWorld:
             ]
         )
         Hmat = K @ A @ Tm
-        return cv2.warpPerspective(
+        img = cv2.warpPerspective(
             self.texture, Hmat, (self.W, self.H), flags=cv2.INTER_LINEAR
         )
+        for (px, py, w, h, pd, ptex) in self.panels:
+            # panel plane Z = pd, world-XY footprint [px +- w/2, py +- h/2]
+            A_p = np.stack([R[:, 0], R[:, 1], pd * R[:, 2] + t], axis=1)
+            T_p = np.array([
+                [w / ptex.shape[1], 0, px - w / 2],
+                [0, h / ptex.shape[0], py - h / 2],
+                [0, 0, 1.0],
+            ])
+            Hp = K @ A_p @ T_p
+            warped = cv2.warpPerspective(
+                ptex, Hp, (self.W, self.H), flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+            mask = cv2.warpPerspective(
+                np.full(ptex.shape, 255, np.uint8), Hp, (self.W, self.H),
+                flags=cv2.INTER_NEAREST, borderMode=cv2.BORDER_CONSTANT,
+                borderValue=0)
+            # only when the panel is in FRONT of the camera (positive depth)
+            c = -R.T @ t
+            if pd - c[2] > 0.2:
+                img = np.where(mask > 0, warped, img)
+        if self.exposure_amp or self.noise_sigma:
+            c = -R.T @ t
+            out = img.astype(np.float32)
+            if self.exposure_amp:
+                g = 1.0 + self.exposure_amp * np.sin(
+                    0.7 * c[0] + 1.3 * c[1] + 0.4)
+                out *= g
+            if self.noise_sigma:
+                # seeded from the pose via a STABLE hash (builtin hash() is
+                # randomized per process): same pose -> same image, across
+                # runs
+                import zlib
+
+                key = zlib.crc32(np.round(pose_cw, 6).tobytes())
+                nrng = np.random.default_rng(key)
+                out += nrng.normal(0.0, self.noise_sigma,
+                                   out.shape).astype(np.float32)
+            img = np.clip(out, 0, 255).astype(np.uint8)
+        return img
 
 
 class BoxWorld:

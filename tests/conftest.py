@@ -34,11 +34,22 @@ def pytest_addoption(parser):
         help="run tests marked slow (full-coverage profile)")
 
 
+# highest-value slow tests PROMOTED into the default profile (VERDICT r4
+# task 9): the day-to-day signal must include a loop closure, a metric-scale
+# e2e, and the 512-keyframe global-BA ceiling — not only units + short e2e
+PROMOTED_SLOW = {
+    "test_loop_closure_end_to_end",        # full loop-closing path
+    "test_stereo_slam_tracks_metric_scale",  # metric scale, no alignment
+    "test_global_ba_convergence_512kf",    # map-scalability ceiling
+}
+
+
 def pytest_collection_modifyitems(config, items):
     """Default = fast profile: slow-marked tests are skipped unless --slow
-    (or RUN_SLOW=1) is given. The slow profile carries the long e2e runs
-    (loop closure, map IO round trips, scale); CI/driver budgets need the
-    default collection to finish in minutes on the 1-core CPU mesh."""
+    (or RUN_SLOW=1) is given — EXCEPT the PROMOTED_SLOW set above, which
+    runs in every profile. The remaining slow profile carries the long e2e
+    runs; CI/driver budgets need the default collection to finish in
+    minutes on the 1-core CPU mesh."""
     if config.getoption("--slow") or os.environ.get("RUN_SLOW"):
         return
     import pytest as _pytest
@@ -46,7 +57,7 @@ def pytest_collection_modifyitems(config, items):
     skip = _pytest.mark.skip(
         reason="slow profile: pass --slow (or RUN_SLOW=1)")
     for item in items:
-        if "slow" in item.keywords:
+        if "slow" in item.keywords and item.name not in PROMOTED_SLOW:
             item.add_marker(skip)
 
 
