@@ -59,6 +59,59 @@ class GlobalOptimizationModule:
         self._loop_ba_thread: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------------
+    def warmup(self):
+        """Pre-compile the loop-CORRECTION path's device programs at the
+        (K, E) / (K, L, D) buckets a mid-size session reaches: the Sim3
+        pose graph and the global BA otherwise cold-compile AT the first
+        loop closure — measured: one local-BA writeback fetch blocked
+        10.1 s mid-bench behind the pose-graph compile landing exactly at
+        correction time, and the starved window cost the run its accuracy
+        (ATE 165 mm vs 11 mm for the cache-warm rerun). Compiles either
+        hit the persistent cache (~1 s each) or run once at startup where
+        stalls are free."""
+        import jax
+
+        from stella_vslam_tpu.parallel.sharded_ba import \
+            sharded_bundle_adjust
+
+        eye = jnp.eye(3, dtype=jnp.float32)
+        for Kp, Ep in ((32, 128), (32, 256)):
+            res = sim3_opt.optimize_pose_graph(
+                jnp.ones(Kp, jnp.float32),
+                jnp.tile(eye[None], (Kp, 1, 1)),
+                jnp.zeros((Kp, 3), jnp.float32),
+                jnp.zeros(Kp, bool).at[0].set(True),
+                jnp.zeros(Kp, bool).at[:3].set(True),
+                jnp.zeros(Ep, jnp.int32),
+                jnp.ones(Ep, jnp.int32),
+                jnp.ones(Ep, jnp.float32),
+                jnp.tile(eye[None], (Ep, 1, 1)),
+                jnp.zeros((Ep, 3), jnp.float32),
+                jnp.zeros(Ep, bool).at[:2].set(True),
+            )
+            jax.block_until_ready(res.s_cw)
+        cam = make_cam_scalars(self.camera)
+        model = self.camera.model.name.lower()
+        for (K, L, D) in ((32, 4096, 16), (32, 8192, 16),
+                          (32, 4096, 32), (32, 8192, 32)):
+            prob = ba_mod.BAProblem(
+                cam_R=jnp.tile(eye[None], (K, 1, 1)),
+                cam_t=jnp.zeros((K, 3), jnp.float32),
+                cam_fixed=jnp.zeros(K, bool).at[0].set(True),
+                cam_valid=jnp.zeros(K, bool),
+                lm_pos=jnp.zeros((L, 3), jnp.float32),
+                lm_valid=jnp.zeros(L, bool),
+                obs_cam=jnp.zeros((L, D), jnp.int32),
+                obs_uv=jnp.zeros((L, D, 2), jnp.float32),
+                obs_x_right=jnp.full((L, D), -1.0),
+                obs_inv_sigma_sq=jnp.ones((L, D), jnp.float32),
+                obs_valid=jnp.zeros((L, D), bool),
+            )
+            res = sharded_bundle_adjust(
+                prob, cam, model=model, num_first=16, num_second=0)
+            jax.block_until_ready(res.cost)
+
+    # ------------------------------------------------------------------
     def queue_keyframe(self, kf):
         self._queue.put(kf)
 
@@ -294,11 +347,32 @@ class GlobalOptimizationModule:
                         self.mapper._fuse_into(map_db, fuse_kfs, cand_side_ids,
                                                margin=4.0)
 
-                # new connections after fusion
+                # new connections after fusion (reference
+                # extract_new_connections, global_optimization_module.cc:
+                # 493-517): connections that EXIST ONLY BECAUSE of the loop
+                # fusion. Their true relative geometry is the corrected one —
+                # the pose graph must measure them at the corrected Sim3s
+                # like the loop edge (graph_optimizer.cc:128-154 adds
+                # loop_connections from Sim3s_cw), NOT at the pre-correction
+                # poses (which for a cross-seam pair encode the full
+                # odometric drift and would fight the loop constraint; a
+                # run with such mis-measured edges left a 0.3-0.9 m bend).
+                covis_set = set(covis)
+                new_connections = set()
                 for kid in covis:
                     kf = map_db.keyframes.get(kid)
-                    if kf is not None:
-                        kf.graph_node.update_connections(map_db)
+                    if kf is None or kf.will_be_erased:
+                        continue
+                    before = set(kf.graph_node.get_covisibilities())
+                    kf.graph_node.update_connections(map_db)
+                    after = set(kf.graph_node.get_covisibilities())
+                    for nid in after - before - covis_set:
+                        # reference threshold: >= 100 shared landmarks
+                        # except the cur-loop pair itself
+                        w = kf.graph_node.connections.get(nid, 0)
+                        if w >= 100 or {kid, nid} == {cur_kf.id, cand_id}:
+                            new_connections.add(
+                                (min(kid, nid), max(kid, nid)))
                 # loop edges
                 cur_kf.graph_node.add_loop_edge(cand_id)
                 if cand is not None:
@@ -306,7 +380,8 @@ class GlobalOptimizationModule:
 
             # pose-graph optimization over the essential graph
             self._pose_graph_optimize(
-                corrections, pre_poses, loop_pair=(cur_kf.id, cand_id)
+                corrections, pre_poses, loop_pair=(cur_kf.id, cand_id),
+                new_connections=new_connections,
             )
             self.num_loops_closed += 1
         finally:
@@ -331,13 +406,16 @@ class GlobalOptimizationModule:
             self._loop_ba_thread.start()
 
     # ------------------------------------------------------------------
-    def _pose_graph_optimize(self, corrections, pre_poses=None, loop_pair=None):
+    def _pose_graph_optimize(self, corrections, pre_poses=None,
+                             loop_pair=None, new_connections=None):
         """Sim3 pose-graph over the essential graph (reference
         graph_optimizer.cc). Vertex initialization uses the CORRECTED Sim3s
-        for the loop-corrected covisibility group; edge measurements use the
-        NON-corrected relative poses — the resulting tension against the loop
-        edge (measured at the corrected poses) is what distributes the
-        correction over the whole graph (graph_optimizer.cc:65-150)."""
+        for the loop-corrected covisibility group; PRE-EXISTING edge
+        measurements use the NON-corrected relative poses — the resulting
+        tension against the loop edge and the fusion-born `new_connections`
+        (both measured at the corrected poses, graph_optimizer.cc:128-154)
+        is what distributes the correction over the whole graph
+        (graph_optimizer.cc:65-150)."""
         map_db = self.map_db
         pre_poses = pre_poses or {}
         with map_db.lock:
@@ -388,6 +466,10 @@ class GlobalOptimizationModule:
                 for cid, w in gn.connections.items():
                     if w >= 100 and cid in idx_of:
                         edges.add((min(k, cid), max(k, cid)))
+            for (a, b) in (new_connections or ()):
+                if a in idx_of and b in idx_of:
+                    edges.add((a, b))
+                    loop_edge_set.add((a, b))
             if loop_pair is not None:
                 a, b = loop_pair
                 if a in idx_of and b in idx_of:
@@ -403,6 +485,12 @@ class GlobalOptimizationModule:
             edges = sorted(edges)
             if not edges:
                 return
+            # diagnostics: the essential-graph structure this correction
+            # distributed over (read by scripts/diag_ate.py)
+            self._last_pose_graph_edges = {
+                "edges": list(edges), "loop_edges": sorted(loop_edge_set),
+                "corrected": sorted(corrections.keys()),
+            }
             E = len(edges)
             ei = np.array([idx_of[a] for a, b in edges], np.int32)
             ej = np.array([idx_of[b] for a, b in edges], np.int32)

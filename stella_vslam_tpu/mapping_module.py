@@ -150,6 +150,11 @@ class MappingModule:
         # wall ms from dispatch to writeback-applied per BA, and the number
         # of backpressure skips (reference is_skipping_localBA)
         self.local_ba_ms = []
+        # dispatch -> results-landed latency (device + fetch, before the
+        # deliberately deferred writeback): the honest "BA cost" — the wall
+        # number above includes the idle-tick deferral that overlaps
+        # tracking by design
+        self.local_ba_landed_ms = []
         self.num_local_ba_skips = 0
         self.num_local_ba_stride_skips = 0  # deliberate thinning (ba_stride)
         # (keyframe, fresh landmark ids) from the most recent event — fused
@@ -871,9 +876,15 @@ class MappingModule:
             res = ba_mod.bundle_adjust_packed(
                 buf_dev, cam, K=K, L=L, D=D, model=model,
                 num_first=n1, num_second=n2)
-            fut = self._ba_fetch_pool.submit(
-                fetch_all, res.cam_R, res.cam_t, res.lm_pos,
-                res.obs_is_outlier)
+
+            def _fetch_timed():
+                out = fetch_all(res.cam_R, res.cam_t, res.lm_pos,
+                                res.obs_is_outlier)
+                self.local_ba_landed_ms.append(
+                    (time.monotonic() - t0) * 1e3)
+                return out
+
+            fut = self._ba_fetch_pool.submit(_fetch_timed)
         PERF.add("ba/assemble", t1 - t0)
         PERF.add("ba/dispatch", time.monotonic() - t1)
         _log.debug("kf %d ba: assemble=%.0f dispatch=%.0f ms (K=%d L=%d)",

@@ -290,6 +290,11 @@ class System:
         n = self.extractor.num_slots
         self.tracker.warmup(n, self.map_db.device_table.capacity)
         self.mapper.warmup(n)
+        if self.global_optimizer.loop_detector_is_enabled():
+            # loop-correction programs (Sim3 pose graph + global BA
+            # buckets): a cold compile AT the first closure stalls the
+            # device pipeline 10-40 s at the worst possible moment
+            self.global_optimizer.warmup()
         # relocalization programs compile in the background (off the
         # startup critical path — reloc is rare but its cold compile
         # measured 1.5-2.7 s at the worst moment: tracking just lost)
