@@ -139,6 +139,27 @@ def main():
               f"corrected={len(pg['corrected'])} kfs, "
               f"cross-seam edges={cross}")
 
+    # leg-coupling probe: how many landmarks are observed from BOTH the
+    # out leg (ts < 25 s) and the back leg (ts > 31 s)? Decoupled legs
+    # (the panels-world failure mode) show ~zero cross-leg landmarks — the
+    # return leg mapped a duplicate layer instead of re-acquiring
+    kf_ts = {k: kf.timestamp for k, kf in slam.map_db.keyframes.items()}
+    n_cross = n_outonly = n_backonly = 0
+    for lm in slam.map_db.landmarks.values():
+        if lm.will_be_erased:
+            continue
+        ts_list = [kf_ts[k] for k in lm.observations if k in kf_ts]
+        has_out = any(ts < 25.0 for ts in ts_list)
+        has_back = any(ts > 31.0 for ts in ts_list)
+        if has_out and has_back:
+            n_cross += 1
+        elif has_out:
+            n_outonly += 1
+        elif has_back:
+            n_backonly += 1
+    print(f"  leg coupling: {n_cross} cross-leg landmarks, "
+          f"{n_outonly} out-only, {n_backonly} back-only")
+
     # scale drift probe: estimated / gt path length over 100-frame windows
     print("  scale ratio per 100-frame window:")
     for a in range(0, 1200, 100):
