@@ -148,7 +148,10 @@ def main():
         }
     )
     slam = System(cfg, inline_mapping=os.environ.get("BENCH_INLINE", "0") == "1")
+    _t_start = time.time()
     slam.startup()
+    sys.stderr.write(f"startup+warmup {time.time() - _t_start:.0f} s\n")
+    sys.stderr.flush()
 
     # rectangular circuit: out along y=0 to 7.5 m, smooth turn ramping to
     # y=1.4 (a third of the 4.2 m footprint height is fresh texture rows, so
@@ -173,12 +176,16 @@ def main():
 
     frame_times = []
     t = 0.0
-    for (x, y) in out_xy:
+    for i, (x, y) in enumerate(out_xy):
         img = world.render(pose_at_xy(x, y))  # render excluded from timing
         t0 = time.time()
         slam.feed_monocular_frame(img, t)
         frame_times.append(time.time() - t0)
         t += 0.05
+        if i % 250 == 0:
+            sys.stderr.write(f"frame {i}/{n_frames} "
+                             f"({time.time() - _t_start:.0f} s)\n")
+            sys.stderr.flush()
 
     # inject the odometric drift the perfect renderer cannot accumulate:
     # move the start-region map segment by 0.55 m + 3 deg yaw (>= 60 px of
