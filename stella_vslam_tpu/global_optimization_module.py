@@ -398,12 +398,99 @@ class GlobalOptimizationModule:
         center = cur_kf.id
         if self.mapper is not None and self.mapper.synchronous_ba:
             self.run_global_bundle_adjustment(center_kf_id=center)
+            self._merge_duplicate_layers(center_kf_id=center)
         else:
             self.loop_ba_running = True
             self._loop_ba_thread = threading.Thread(
-                target=self.run_global_bundle_adjustment,
+                target=self._loop_ba_then_merge,
                 kwargs={"center_kf_id": center}, daemon=True)
             self._loop_ba_thread.start()
+
+    def _loop_ba_then_merge(self, center_kf_id=None):
+        self.run_global_bundle_adjustment(center_kf_id=center_kf_id)
+        if not self._abort_loop_ba:
+            self._merge_duplicate_layers(center_kf_id=center_kf_id)
+
+    def _merge_duplicate_layers(self, center_kf_id=None,
+                                max_pairs: int = 64):
+        """Post-loop-BA duplicate-layer merge (beyond the reference).
+
+        The reference's replace_duplicated_landmarks
+        (global_optimization_module.cc:400-491) fuses only the loop
+        keyframe's covisibility neighborhood, so when a revisit leg mapped a
+        duplicate landmark layer under occlusion (the panels-world failure
+        mode: the legs share ~zero landmarks away from the seam), the pose
+        graph distributes the seam correction into a weakly-tied leg and the
+        closed loop keeps a 0.1-0.2 m bend. After the corrected gauges
+        agree, duplicates are finally within projection range of each other
+        — detect keyframe pairs that are spatially close but covisibility-
+        DISCONNECTED and temporally distant (i.e. a revisit that never
+        re-acquired), fuse each side's landmarks into the other, and if
+        anything merged run one more global BA so the new cross-leg ties
+        actually pull the layers together. No-op (zero device dispatches)
+        on well-coupled maps."""
+        map_db = self.map_db
+        if self.mapper is None:
+            return
+        with map_db.lock:
+            kfs = [kf for kf in map_db.keyframes.values()
+                   if not kf.will_be_erased]
+            if len(kfs) < 8:
+                return
+            centers = np.stack([kf.cam_center for kf in kfs])
+            ts = np.asarray([kf.timestamp for kf in kfs])
+            covis = {kf.id: set(kf.graph_node.get_covisibilities())
+                     for kf in kfs}
+        d = np.linalg.norm(centers[:, None, :] - centers[None, :, :], axis=2)
+        # neighborhood scale: median distance to the nearest OTHER keyframe
+        np.fill_diagonal(d, np.inf)
+        near_scale = float(np.median(d.min(axis=1)))
+        if not np.isfinite(near_scale) or near_scale <= 0:
+            return
+        ii, jj = np.nonzero(
+            (d < 2.5 * near_scale)
+            & (np.abs(ts[:, None] - ts[None, :]) > 5.0))
+        pairs = []
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            if a >= b:
+                continue
+            ka, kb = kfs[a], kfs[b]
+            if kb.id in covis.get(ka.id, ()):  # already coupled
+                continue
+            pairs.append((ka, kb, d[a, b]))
+        if len(pairs) < 4:
+            # isolated stragglers happen on healthy maps (e.g. around the
+            # seam before its connections recount) — not a duplicate layer
+            return
+        pairs.sort(key=lambda p: p[2])
+        pairs = pairs[:max_pairs]
+        _log.info("duplicate-layer merge: %d disconnected close pairs "
+                  "(scale %.2f)", len(pairs), near_scale)
+        touched = set()
+        for ka, kb, _dist in pairs:
+            with map_db.lock:
+                ids_a = map_db.fields.live(ka.get_valid_landmark_ids())
+                ids_b = map_db.fields.live(kb.get_valid_landmark_ids())
+            if len(ids_b):
+                self.mapper._fuse_into(map_db, [ka], ids_b, margin=4.0)
+            if len(ids_a):
+                self.mapper._fuse_into(map_db, [kb], ids_a, margin=4.0)
+            touched.add(ka.id)
+            touched.add(kb.id)
+        with map_db.lock:
+            n_new = 0
+            for kid in touched:
+                kf = map_db.keyframes.get(kid)
+                if kf is None or kf.will_be_erased:
+                    continue
+                before = set(kf.graph_node.get_covisibilities())
+                kf.graph_node.update_connections(map_db)
+                n_new += len(set(kf.graph_node.get_covisibilities()) - before)
+        _log.info("duplicate-layer merge: %d new covisibility links", n_new)
+        if n_new and not self._abort_loop_ba:
+            # the merged observations only straighten the layers once an
+            # optimization consumes them
+            self.run_global_bundle_adjustment(center_kf_id=center_kf_id)
 
     # ------------------------------------------------------------------
     def _pose_graph_optimize(self, corrections, pre_poses=None,

@@ -77,9 +77,11 @@ def _rebase_chain(la_pos, la_valid, la_id, tbl_ids, tbl_pos, A_R, A_t,
 
 class _Pending:
     __slots__ = ("frm", "out", "last_frm", "tbl_ids", "host_packed",
-                 "fetched", "t_dispatch")
+                 "fetched", "t_dispatch", "ref_kf_at_dispatch",
+                 "ref_pose_at_dispatch", "snap_kf_poses")
 
-    def __init__(self, frm, out, last_frm, tbl_ids):
+    def __init__(self, frm, out, last_frm, tbl_ids, ref_kf_at_dispatch=None,
+                 ref_pose_at_dispatch=None, snap_kf_poses=None):
         self.frm = frm
         self.out = out
         self.last_frm = last_frm
@@ -89,6 +91,17 @@ class _Pending:
         # not the table's current ids (refresh rebinds a new ids array, so
         # holding the reference is a true snapshot)
         self.tbl_ids = tbl_ids
+        # gauge anchors at DISPATCH time: the reference keyframe this frame
+        # was tracked against and its pose AS THE TRACKER SAW IT (snap pose /
+        # creation pose). The finalized rel-pose record is computed against
+        # poses from this gauge, so a concurrent correction (loop closure,
+        # BA writeback) landing between dispatch and finalize cannot pair a
+        # pre-correction frame pose with a post-correction keyframe pose —
+        # the reconstruction rel @ live_pose then propagates the correction
+        # instead of double-counting it (measured 0.3-0.5 m excursions).
+        self.ref_kf_at_dispatch = ref_kf_at_dispatch
+        self.ref_pose_at_dispatch = ref_pose_at_dispatch
+        self.snap_kf_poses = snap_kf_poses
         self.host_packed = None  # numpy result, set by the fetcher thread
         self.fetched = None  # threading.Event, set when host_packed landed
         self.t_dispatch = _time.monotonic()
@@ -706,7 +719,10 @@ class TrackingModule:
             R_last, t_last, R_prev, t_prev,
             use_motion=use_motion, margin_local=float(margin),
         )
-        p = _Pending(frm, out, last, tbl.ids)
+        p = _Pending(frm, out, last, tbl.ids,
+                     ref_kf_at_dispatch=self.ref_keyfrm_id,
+                     ref_pose_at_dispatch=anchor_pose,
+                     snap_kf_poses=tbl.kf_poses)
         self._pending.append(p)
         self._batch.append(p)
         if len(self._batch) >= self.fetch_batch:
@@ -828,6 +844,18 @@ class TrackingModule:
         # through fusion replacements that happened since dispatch
         tbl = self.map_db.device_table
         frm.lm_ids[:] = self.map_db.resolve_landmark_ids(lm_ids)
+        # replacement-forwarding volume: when a large fraction of this
+        # frame's associations were fused into OTHER landmarks since
+        # dispatch (the loop-closure correct/fuse window is the only thing
+        # that does this at scale), covisibility counts over the forwarded
+        # ids attribute the frame to keyframes from the pre-correction
+        # gauge while its pose is still in the tracking gauge — anchoring
+        # the trajectory record there bends the reconstructed frame by the
+        # full seam correction (diag_ate: 0.3-0.5 m excursions). Detect the
+        # window and keep this frame's record on its dispatch-time anchor.
+        _valid_disp = lm_ids >= 0
+        n_forwarded = int(np.sum(_valid_disp & (frm.lm_ids != lm_ids)))
+        gauge_hazard = n_forwarded > 0.2 * max(1, int(np.sum(_valid_disp)))
         # replacement-forwarding can fold two distinct dispatch-time ids into
         # ONE surviving landmark; a landmark may appear in at most one slot
         # (landmark.observations records a single idx per keyframe — a
@@ -868,7 +896,7 @@ class TrackingModule:
         # 93-164 mm on return-leg frames anchored 0.4-0.66 map-units away).
         _t_ref = _time.monotonic()
         valid_lms = frm.lm_ids[frm.lm_ids >= 0]
-        if len(valid_lms):
+        if len(valid_lms) and not gauge_hazard:
             obs_kfs, obs_cnts = self.map_db.assoc_store.covis_counts(
                 valid_lms, -1)
             if len(obs_kfs):
@@ -913,11 +941,39 @@ class TrackingModule:
         frm.ref_keyfrm_id = self.ref_keyfrm_id
         # frame statistics: relative pose to the reference keyframe so the
         # exported trajectory benefits from later keyframe-pose refinement
-        # (reference data/frame_statistics + io/trajectory_io.cc:20-60)
+        # (reference data/frame_statistics + io/trajectory_io.cc:20-60).
+        # The anchor pose comes from the DISPATCH gauge (snap kf_poses /
+        # creation pose), NOT the live keyframe pose: the frame's pose is a
+        # product of tracking against that snapshot, so rel computed in the
+        # same gauge stays valid however the keyframe is later refined —
+        # rel @ live_pose at export time propagates exactly the refinement
+        # since dispatch. Reading the live pose here raced the global-opt
+        # thread: a loop correction landing between dispatch and finalize
+        # paired a pre-correction frame pose with a post-correction keyframe
+        # pose and the reconstruction double-applied the seam correction.
         rel = None
-        ref = self.map_db.keyframes.get(self.ref_keyfrm_id)
-        if ref is not None:
-            rel = frm.pose_cw @ np.linalg.inv(ref.pose_cw)
+        if gauge_hazard and p.ref_kf_at_dispatch is not None \
+                and p.ref_pose_at_dispatch is not None \
+                and p.ref_kf_at_dispatch in self.map_db.keyframes:
+            frm.ref_keyfrm_id = p.ref_kf_at_dispatch
+            rel = frm.pose_cw @ np.linalg.inv(p.ref_pose_at_dispatch)
+        else:
+            ref_pose = None
+            if p.snap_kf_poses is not None:
+                ref_pose = p.snap_kf_poses.get(self.ref_keyfrm_id)
+            ref = self.map_db.keyframes.get(self.ref_keyfrm_id)
+            if ref_pose is None and ref is not None:
+                # not in the published table: either created after the
+                # publish (creation pose is in the snap gauge by
+                # construction — see _dispatch) or outside the local
+                # neighborhood (live pose is the only estimate available)
+                if p.snap_kf_poses is not None and \
+                        ref.id > max(p.snap_kf_poses, default=-1):
+                    ref_pose = ref._pose_at_creation
+                else:
+                    ref_pose = ref.pose_cw
+            if ref_pose is not None:
+                rel = frm.pose_cw @ np.linalg.inv(ref_pose)
         self.finalized.append(
             (frm.id, frm.timestamp, frm.pose_cw.copy(), frm.ref_keyfrm_id, rel)
         )
