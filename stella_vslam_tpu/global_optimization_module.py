@@ -423,12 +423,17 @@ class GlobalOptimizationModule:
         graph distributes the seam correction into a weakly-tied leg and the
         closed loop keeps a 0.1-0.2 m bend. After the corrected gauges
         agree, duplicates are finally within projection range of each other
-        — detect keyframe pairs that are spatially close but covisibility-
-        DISCONNECTED and temporally distant (i.e. a revisit that never
-        re-acquired), fuse each side's landmarks into the other, and if
-        anything merged run one more global BA so the new cross-leg ties
-        actually pull the layers together. No-op (zero device dispatches)
-        on well-coupled maps."""
+        — detect keyframe pairs whose VIEW FOOTPRINTS overlap (centroids of
+        their observed landmarks closer than the footprint spread: they
+        mapped the same surface) yet are covisibility-DISCONNECTED and
+        temporally distant (i.e. a revisit that never re-acquired), fuse
+        each side's landmarks into the other, and if anything merged run
+        one more global BA so the new cross-leg ties actually pull the
+        layers together. Camera-center proximity is deliberately NOT the
+        criterion: a revisit leg passes meters away from the original leg
+        while observing the same scene content. No-op (zero device
+        dispatches) on well-coupled maps, where every overlapping-view pair
+        is already connected."""
         map_db = self.map_db
         if self.mapper is None:
             return
@@ -437,19 +442,32 @@ class GlobalOptimizationModule:
                    if not kf.will_be_erased]
             if len(kfs) < 8:
                 return
-            centers = np.stack([kf.cam_center for kf in kfs])
+            pos = map_db.fields.pos
+            alive = map_db.fields.alive
+            cent, spread, lm_sets = [], [], []
+            for kf in kfs:
+                ids = kf.get_valid_landmark_ids()
+                ids = ids[alive[ids]]
+                if len(ids) < 20:
+                    cent.append(np.full(3, np.nan))
+                    spread.append(0.0)
+                    lm_sets.append(ids)
+                    continue
+                p = pos[ids]
+                c = p.mean(axis=0)
+                cent.append(c)
+                spread.append(float(np.median(
+                    np.linalg.norm(p - c, axis=1))))
+                lm_sets.append(ids)
+            cent = np.stack(cent)
+            spread = np.asarray(spread)
             ts = np.asarray([kf.timestamp for kf in kfs])
             covis = {kf.id: set(kf.graph_node.get_covisibilities())
                      for kf in kfs}
-        d = np.linalg.norm(centers[:, None, :] - centers[None, :, :], axis=2)
-        # neighborhood scale: median distance to the nearest OTHER keyframe
-        np.fill_diagonal(d, np.inf)
-        near_scale = float(np.median(d.min(axis=1)))
-        if not np.isfinite(near_scale) or near_scale <= 0:
-            return
+        d = np.linalg.norm(cent[:, None, :] - cent[None, :, :], axis=2)
+        overlap = d < 0.5 * (spread[:, None] + spread[None, :])
         ii, jj = np.nonzero(
-            (d < 2.5 * near_scale)
-            & (np.abs(ts[:, None] - ts[None, :]) > 5.0))
+            overlap & (np.abs(ts[:, None] - ts[None, :]) > 5.0))
         pairs = []
         for a, b in zip(ii.tolist(), jj.tolist()):
             if a >= b:
@@ -457,26 +475,31 @@ class GlobalOptimizationModule:
             ka, kb = kfs[a], kfs[b]
             if kb.id in covis.get(ka.id, ()):  # already coupled
                 continue
-            pairs.append((ka, kb, d[a, b]))
+            pairs.append((a, b, d[a, b]))
         if len(pairs) < 4:
             # isolated stragglers happen on healthy maps (e.g. around the
             # seam before its connections recount) — not a duplicate layer
             return
         pairs.sort(key=lambda p: p[2])
         pairs = pairs[:max_pairs]
-        _log.info("duplicate-layer merge: %d disconnected close pairs "
-                  "(scale %.2f)", len(pairs), near_scale)
+        _log.info("duplicate-layer merge: %d disconnected overlapping-view "
+                  "pairs", len(pairs))
+        # group per keyframe: ONE fuse dispatch per involved keyframe over
+        # the union of its partners' landmarks
+        partner_ids: dict = {}
         touched = set()
-        for ka, kb, _dist in pairs:
+        for a, b, _dist in pairs:
+            partner_ids.setdefault(a, []).append(lm_sets[b])
+            partner_ids.setdefault(b, []).append(lm_sets[a])
+            touched.add(kfs[a].id)
+            touched.add(kfs[b].id)
+        for idx, chunks in partner_ids.items():
+            kf = kfs[idx]
             with map_db.lock:
-                ids_a = map_db.fields.live(ka.get_valid_landmark_ids())
-                ids_b = map_db.fields.live(kb.get_valid_landmark_ids())
-            if len(ids_b):
-                self.mapper._fuse_into(map_db, [ka], ids_b, margin=4.0)
-            if len(ids_a):
-                self.mapper._fuse_into(map_db, [kb], ids_a, margin=4.0)
-            touched.add(ka.id)
-            touched.add(kb.id)
+                ids = map_db.fields.live(
+                    np.unique(np.concatenate(chunks)))
+            if len(ids):
+                self.mapper._fuse_into(map_db, [kf], ids, margin=4.0)
         with map_db.lock:
             n_new = 0
             for kid in touched:

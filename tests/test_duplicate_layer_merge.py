@@ -37,7 +37,7 @@ def _cross_layer_links(md, layer_b_root):
 @pytest.mark.slow
 def test_merge_reconnects_duplicate_layers():
     world = PlaneWorld()
-    poses = lateral_trajectory(40, step=0.02)
+    poses = lateral_trajectory(70, step=0.02)
     cfg = Config.from_dict({
         "Camera": world.camera_yaml(),
         "Feature": {"num_levels": 4},
