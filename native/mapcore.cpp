@@ -13,6 +13,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
+#include <shared_mutex>
 #include <unordered_map>
 #include <vector>
 #include <algorithm>
@@ -35,7 +37,20 @@ struct Store {
     // monotone in practice, matching the reference's id-ordered map)
     std::unordered_map<int64_t, std::vector<Obs>> obs;
     std::unordered_map<int64_t, KfData> kfs;
+    // The store is hit from four threads (tracker finalize, mapper, loop
+    // closer, and the caller thread via System APIs); the Python layer's
+    // map_db.lock covers the mutating paths but the per-frame hot reads
+    // (covis_counts / num_obs_bulk in finalize) deliberately run lock-free
+    // for latency — an unordered_map rehash or vector reallocation under a
+    // concurrent reader then dereferences a dangling node (observed as a
+    // segfault in a bench run). Reader-writer lock at the C ABI boundary:
+    // readers share, mutators are exclusive; the granularity is one bulk
+    // call, so the uncontended cost is a single atomic each way.
+    mutable std::shared_mutex mtx;
 };
+
+using ReadLock = std::shared_lock<std::shared_mutex>;
+using WriteLock = std::unique_lock<std::shared_mutex>;
 
 int32_t pick_median_hamming(const uint32_t* descs, int32_t n) {
     if (n <= 0) return -1;
@@ -69,10 +84,17 @@ void* store_create() { return new Store(); }
 
 void store_destroy(void* s) { delete static_cast<Store*>(s); }
 
-void store_clear(void* s) { static_cast<Store*>(s)->obs.clear(); }
+void store_clear(void* s) {
+    Store* st = static_cast<Store*>(s);
+    WriteLock wl(st->mtx);
+    st->obs.clear();
+    st->kfs.clear();
+}
 
 void store_add_obs(void* s, int64_t lm_id, int64_t kf_id, int32_t idx) {
-    auto& v = static_cast<Store*>(s)->obs[lm_id];
+    Store* st = static_cast<Store*>(s);
+    WriteLock wl(st->mtx);
+    auto& v = st->obs[lm_id];
     for (auto& o : v) {
         if (o.kf_id == kf_id) { o.idx = idx; return; }
     }
@@ -84,7 +106,9 @@ void store_add_obs(void* s, int64_t lm_id, int64_t kf_id, int32_t idx) {
 // insert add hundreds at a time; ctypes per-call overhead dominated)
 void store_add_obs_bulk(void* s, const int64_t* lm_ids, const int64_t* kf_ids,
                         const int32_t* idxs, int64_t n) {
-    auto& m = static_cast<Store*>(s)->obs;
+    Store* st = static_cast<Store*>(s);
+    WriteLock wl(st->mtx);
+    auto& m = st->obs;
     for (int64_t i = 0; i < n; ++i) {
         auto& v = m[lm_ids[i]];
         bool found = false;
@@ -97,7 +121,9 @@ void store_add_obs_bulk(void* s, const int64_t* lm_ids, const int64_t* kf_ids,
 
 // returns the keypoint index that was erased, or -1
 int32_t store_erase_obs(void* s, int64_t lm_id, int64_t kf_id) {
-    auto& m = static_cast<Store*>(s)->obs;
+    Store* st = static_cast<Store*>(s);
+    WriteLock wl(st->mtx);
+    auto& m = st->obs;
     auto it = m.find(lm_id);
     if (it == m.end()) return -1;
     auto& v = it->second;
@@ -113,11 +139,15 @@ int32_t store_erase_obs(void* s, int64_t lm_id, int64_t kf_id) {
 }
 
 void store_erase_landmark(void* s, int64_t lm_id) {
-    static_cast<Store*>(s)->obs.erase(lm_id);
+    Store* st = static_cast<Store*>(s);
+    WriteLock wl(st->mtx);
+    st->obs.erase(lm_id);
 }
 
 int32_t store_num_obs(void* s, int64_t lm_id) {
-    auto& m = static_cast<Store*>(s)->obs;
+    Store* st = static_cast<Store*>(s);
+    ReadLock rl(st->mtx);
+    auto& m = st->obs;
     auto it = m.find(lm_id);
     return it == m.end() ? 0 : static_cast<int32_t>(it->second.size());
 }
@@ -128,7 +158,9 @@ int32_t store_num_obs(void* s, int64_t lm_id) {
 // (reference tracking_module.cc:143-148).
 void store_num_obs_bulk(void* s, const int64_t* lm_ids, int32_t n,
                         int32_t* out_counts) {
-    auto& m = static_cast<Store*>(s)->obs;
+    Store* st = static_cast<Store*>(s);
+    ReadLock rl(st->mtx);
+    auto& m = st->obs;
     for (int32_t i = 0; i < n; ++i) {
         if (lm_ids[i] < 0) { out_counts[i] = 0; continue; }
         auto it = m.find(lm_ids[i]);
@@ -139,7 +171,9 @@ void store_num_obs_bulk(void* s, const int64_t* lm_ids, int32_t n,
 // fills out_kf (cap) and out_idx with the observations of lm_id; returns count
 int32_t store_get_obs(void* s, int64_t lm_id, int64_t* out_kf,
                       int32_t* out_idx, int32_t cap) {
-    auto& m = static_cast<Store*>(s)->obs;
+    Store* st = static_cast<Store*>(s);
+    ReadLock rl(st->mtx);
+    auto& m = st->obs;
     auto it = m.find(lm_id);
     if (it == m.end()) return 0;
     int32_t n = std::min<int32_t>(cap, (int32_t)it->second.size());
@@ -156,7 +190,9 @@ int32_t store_get_obs(void* s, int64_t lm_id, int64_t* out_kf,
 int32_t store_covis_counts(void* s, const int64_t* lm_ids, int32_t n,
                            int64_t self_kf_id, int64_t* out_kf,
                            int32_t* out_counts, int32_t cap) {
-    auto& m = static_cast<Store*>(s)->obs;
+    Store* st = static_cast<Store*>(s);
+    ReadLock rl(st->mtx);
+    auto& m = st->obs;
     std::unordered_map<int64_t, int32_t> counts;
     counts.reserve(256);
     for (int32_t i = 0; i < n; ++i) {
@@ -184,7 +220,9 @@ void store_assemble_ba(void* s, const int64_t* lm_ids, int32_t L,
                        const int64_t* kf_ids, const int32_t* kf_slots,
                        int32_t K, int32_t D, int32_t* obs_cam,
                        int32_t* obs_idx, uint8_t* obs_valid) {
-    auto& m = static_cast<Store*>(s)->obs;
+    Store* st = static_cast<Store*>(s);
+    ReadLock rl(st->mtx);
+    auto& m = st->obs;
     std::unordered_map<int64_t, int32_t> slot_of;
     slot_of.reserve(K * 2);
     for (int32_t i = 0; i < K; ++i) slot_of[kf_ids[i]] = kf_slots[i];
@@ -223,13 +261,17 @@ int32_t median_hamming_descriptor(const uint32_t* descs, int32_t n) {
 
 void store_register_keyframe(void* s, int64_t kf_id, const uint32_t* desc,
                              const int32_t* level, int32_t n) {
-    auto& kf = static_cast<Store*>(s)->kfs[kf_id];
+    Store* st = static_cast<Store*>(s);
+    WriteLock wl(st->mtx);
+    auto& kf = st->kfs[kf_id];
     kf.desc.assign(desc, desc + (size_t)n * 8);
     kf.level.assign(level, level + n);
 }
 
 void store_erase_keyframe_data(void* s, int64_t kf_id) {
-    static_cast<Store*>(s)->kfs.erase(kf_id);
+    Store* st = static_cast<Store*>(s);
+    WriteLock wl(st->mtx);
+    st->kfs.erase(kf_id);
 }
 
 // Redundant-observation counting for keyframe culling (reference
@@ -241,6 +283,7 @@ void store_count_redundant(void* s, int64_t kf_id, const int64_t* lm_ids,
                            const int32_t* levels, int32_t n,
                            int32_t* out_valid, int32_t* out_redundant) {
     auto& st = *static_cast<Store*>(s);
+    ReadLock rl(st.mtx);
     int32_t valid = 0, redundant = 0;
     for (int32_t i = 0; i < n; ++i) {
         if (lm_ids[i] < 0) continue;
@@ -285,6 +328,7 @@ void store_batch_landmark_refresh(
     double* out_normal, double* out_dmin, double* out_dmax,
     uint8_t* out_flags) {
     Store* st = static_cast<Store*>(s);
+    ReadLock rl(st->mtx);
     std::unordered_map<int64_t, int32_t> row_of;
     row_of.reserve(K * 2);
     for (int32_t i = 0; i < K; ++i) row_of[kf_ids[i]] = i;
