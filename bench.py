@@ -443,28 +443,24 @@ def main():
     # local-BA keep-up (BASELINE.md: report ms/keyframe; no sustained skip)
     assert ba_opportunities > 0 and n_skips <= 0.2 * ba_opportunities, (
         f"sustained local-BA skip: {n_skips}/{ba_opportunities}")
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
-    stereo = {}
-    if os.environ.get("BENCH_SKIP_STEREO", "0") != "1":
-        _el = time.time() - _t_start
-        if _el + 300.0 > budget_s:
-            sys.stderr.write(
-                f"stereo leg SKIPPED: {_el:.0f} s elapsed + ~300 s leg "
-                f"> {budget_s:.0f} s budget (degraded tunnel window)\n")
-        else:
-            stereo = run_stereo()
     # optional modality legs run inside a wall-clock budget: in a degraded
     # tunnel window (compiles have taken 10-500 s) the primary mono metric
-    # and stereo must still land, so equirect/RGBD yield rather than risk
-    # the whole run timing out with no JSON at all. A leg only STARTS if its
+    # must still land, so stereo/equirect/RGBD yield rather than risk the
+    # whole run timing out with no JSON at all. A leg only STARTS if its
     # estimated duration also fits: the budget check used to fire only at
     # leg start, so a leg launched at budget-1 s could run 300+ s past the
-    # budget and an outer watchdog would kill the run before the JSON line
-    # (measured: equirect+rgbd cost ~200-400 s each even in a healthy window)
-    equirect, rgbd = {}, {}
-    for name, skip_env, fn, est_s, out in (
-            ("equirect", "BENCH_SKIP_EQUIRECT", run_equirect, 300.0, equirect),
-            ("rgbd", "BENCH_SKIP_RGBD", run_rgbd, 300.0, rgbd)):
+    # budget and an outer watchdog would kill the run before the JSON line.
+    # The estimate is adaptive — each completed leg's measured wall time
+    # (leg cost is dominated by that window's per-program compile latency,
+    # which the previous leg just sampled) becomes the next leg's estimate;
+    # the first leg uses the ~300 s cost measured in a healthy window.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    est_s = 300.0
+    stereo, equirect, rgbd = {}, {}, {}
+    for name, skip_env, fn, out in (
+            ("stereo", "BENCH_SKIP_STEREO", run_stereo, stereo),
+            ("equirect", "BENCH_SKIP_EQUIRECT", run_equirect, equirect),
+            ("rgbd", "BENCH_SKIP_RGBD", run_rgbd, rgbd)):
         if os.environ.get(skip_env, "0") == "1":
             continue
         elapsed = time.time() - _t_start
@@ -473,7 +469,9 @@ def main():
                 f"{name} leg SKIPPED: {elapsed:.0f} s elapsed + ~{est_s:.0f} s "
                 f"leg > {budget_s:.0f} s budget (degraded tunnel window)\n")
             continue
+        _t_leg = time.time()
         out.update(fn())
+        est_s = max(120.0, time.time() - _t_leg)
     print(json.dumps({
         "metric": "mono SLAM throughput (synthetic 752x480, 1290-frame "
                   "revisit loop, end-to-end)",
